@@ -1,0 +1,140 @@
+"""Batched frame loader with native decode, prefetch and host sharding.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler``
+(reference: src/audiofakedetect/train_classifier.py:119-159).  One loader
+serves the whole mesh: batches are read by the C++ thread-pool reader,
+resampled on the host, and handed to the trainer which shards the batch
+axis over the device mesh.  In multi-host mode each process reads only its
+``process_index``-strided slice (the ``DistributedSampler`` equivalent).
+
+Eval batches are zero-padded to a fixed shape with a ``weight`` mask so the
+jitted eval step never recompiles on the last partial batch (XLA static
+shapes).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..ops.audio import resample
+from .dataset import CustomDataset
+from .wavio import wav_read_batch
+
+
+class FrameLoader:
+    """Iterates shuffled, fixed-shape batches of audio frames."""
+
+    def __init__(
+        self,
+        dataset: CustomDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_threads: int = 8,
+        include_index: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.include_index = include_index
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.target_len = int(dataset.seconds * dataset.resample_rate)
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _order(self, epoch: int, shuffle: bool) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        # per-host strided slice (DistributedSampler equivalent)
+        return idx[self.process_index :: self.process_count]
+
+    def _make_batch(self, indices: np.ndarray, pad_to: int) -> Dict[str, np.ndarray]:
+        rows = self.dataset.audio_data[indices]
+        paths = [str(r[0]) for r in rows]
+        wins = np.asarray([int(r[2]) for r in rows], dtype=np.int64)
+        offsets = np.asarray(
+            [int(r[1]) * int(r[2]) for r in rows], dtype=np.int64
+        )
+        labels = np.asarray([int(r[3]) for r in rows], dtype=np.int32)
+        max_win = int(wins.max()) if len(wins) else self.target_len
+        raw = wav_read_batch(paths, offsets, wins, max_win, self.num_threads)
+        audio = np.zeros((pad_to, self.target_len), dtype=np.float32)
+        for i, win in enumerate(wins):
+            src_rate = int(win / self.dataset.seconds)
+            clip = raw[i, :win]
+            if src_rate > self.dataset.resample_rate:
+                clip = resample(clip, src_rate, self.dataset.resample_rate)
+            audio[i, : min(len(clip), self.target_len)] = clip[: self.target_len]
+        batch = {
+            "audio": audio[:, None, :],  # [B, 1, T] like torchaudio.load
+            "label": np.pad(labels, (0, pad_to - len(labels))),
+            "weight": np.pad(
+                np.ones(len(labels), np.float32), (0, pad_to - len(labels))
+            ),
+        }
+        if self.include_index:
+            batch["index"] = np.pad(
+                indices.astype(np.int64), (0, pad_to - len(indices))
+            )
+        return batch
+
+    def _batches(self, epoch: int, shuffle: bool) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order(epoch, shuffle)
+        n = len(order)
+        n_full = n // self.batch_size
+        for b in range(n_full):
+            yield self._make_batch(
+                order[b * self.batch_size : (b + 1) * self.batch_size],
+                self.batch_size,
+            )
+        rem = n - n_full * self.batch_size
+        if rem and not self.drop_last:
+            yield self._make_batch(order[n_full * self.batch_size :], self.batch_size)
+
+    def epoch(
+        self, epoch: int = 0, shuffle: Optional[bool] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield one epoch of batches, decoded ahead by a prefetch thread."""
+        shuffle = self.shuffle if shuffle is None else shuffle
+        if self.prefetch <= 0:
+            yield from self._batches(epoch, shuffle)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches(epoch, shuffle):
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -1,0 +1,12 @@
+"""Classifier models (flax) + torch checkpoint interop."""
+
+from .dcnn import DCNN, DCNNxDilation, DCNNxDropout  # noqa: F401
+from .lcnn import LCNN  # noqa: F401
+from .regression import Regression  # noqa: F401
+from .torch_import import (  # noqa: F401
+    export_state_dict,
+    import_dcnn,
+    import_lcnn,
+    load_epochs_run,
+    load_torch_state_dict,
+)

@@ -1,0 +1,219 @@
+"""Shared flax layers with torch-parity semantics.
+
+The reference models are built from torch ``Conv2d/PReLU/MaxPool2d/
+SyncBatchNorm/Dropout/LSTM`` plus the ASVspoof ``MaxFeatureMap2D`` maxout
+(reference: src/audiofakedetect/models.py).  These re-implementations keep
+torch's exact numerics where they differ from flax defaults:
+
+* ``BatchNorm``: biased variance for normalisation but *unbiased* variance
+  for the running-stat update, momentum 0.1 torch-style, optional affine,
+  ``num_batches_tracked`` buffer — so ``.pt`` checkpoints round-trip and
+  retraining matches.  Under a batch-sharded ``jit`` the ``jnp.mean``
+  reductions are global across the device mesh, which *is* SyncBatchNorm
+  (reference wraps every norm in ``nn.SyncBatchNorm``, models.py:260-290) —
+  no explicit collective needed.
+* ``PReLU``: single shared slope, init 0.25 (torch default).
+* internal layout is NHWC (TPU-native); importers transpose torch's OIHW.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch normalisation over the last (feature) axis."""
+
+    affine: bool = True
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        n_tracked = self.variable(
+            "batch_stats", "num_batches_tracked", lambda: jnp.zeros((), jnp.int32)
+        )
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            mean2 = jnp.mean(jax.lax.square(x), axis=axes)
+            var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1.0
+                for d in axes:
+                    n *= x.shape[d]
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                n_tracked.value = n_tracked.value + 1
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (features,))
+            bias = self.param("bias", nn.initializers.zeros, (features,))
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """Torch ``nn.PReLU()``: one shared learnable slope, init 0.25."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", lambda key: jnp.asarray(self.init, jnp.float32)
+        )
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class Conv2d(nn.Module):
+    """Torch-style Conv2d on NHWC input (symmetric int padding, dilation)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    precision: Any = jax.lax.Precision.HIGHEST
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = _pair(self.padding)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.stride),
+            padding=(p[0], p[1]),
+            kernel_dilation=_pair(self.dilation),
+            use_bias=self.use_bias,
+            precision=self.precision,
+            dtype=self.dtype,
+        )(x)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Torch MaxPool2d(2, 2) (floor mode) on NHWC."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def max_feature_map_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxFeatureMap2D maxout over channel halves (NHWC layout).
+
+    Torch splits channel dim C (axis 1, NCHW) as (2, C/2) and maxes the
+    leading factor (reference: src/audiofakedetect/models.py:161-209); the
+    NHWC equivalent pairs channel j with j + C/2.
+    """
+    c = x.shape[-1]
+    assert c % 2 == 0, "MaxFeatureMap2D needs an even channel count"
+    y = x.reshape(*x.shape[:-1], 2, c // 2)
+    return jnp.max(y, axis=-2)
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return nn.Dropout(rate=self.rate, deterministic=not train)(x)
+
+
+def _lstm_direction(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    bias: jnp.ndarray,
+    reverse: bool,
+) -> jnp.ndarray:
+    """One LSTM direction over ``[B, T, D]`` via ``lax.scan``.
+
+    Torch gate order (i, f, g, o).  The input projection for all timesteps is
+    a single big matmul (MXU work); only the small recurrent matmul sits in
+    the scan.
+    """
+    b, t, _ = x.shape
+    hidden = w_hh.shape[-1]
+    x_proj = (
+        jnp.einsum("btd,hd->bth", x, w_ih, precision=jax.lax.Precision.HIGHEST) + bias
+    )
+    if reverse:
+        x_proj = jnp.flip(x_proj, axis=1)
+
+    def step(carry, xt):
+        h, c = carry
+        z = xt + jnp.einsum(
+            "bh,gh->bg", h, w_hh, precision=jax.lax.Precision.HIGHEST
+        )
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((b, hidden), x.dtype),
+        jnp.zeros((b, hidden), x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+    if reverse:
+        hs = jnp.flip(hs, axis=1)
+    return hs
+
+
+class BLSTMLayer(nn.Module):
+    """Bidirectional LSTM keeping sequence length, out dim == hidden*2.
+
+    Parity with the reference's ``BLSTMLayer`` wrapper around torch
+    ``nn.LSTM(input, output//2, bidirectional=True)``
+    (reference: src/audiofakedetect/models.py:212-237).
+    """
+
+    input_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.output_dim % 2 == 0
+        hidden = self.output_dim // 2
+        k = 1.0 / jnp.sqrt(hidden)
+
+        def uni(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        outs = []
+        for direction, reverse in (("fw", False), ("bw", True)):
+            w_ih = self.param(f"w_ih_{direction}", uni, (4 * hidden, self.input_dim))
+            w_hh = self.param(f"w_hh_{direction}", uni, (4 * hidden, hidden))
+            b_ih = self.param(f"b_ih_{direction}", uni, (4 * hidden,))
+            b_hh = self.param(f"b_hh_{direction}", uni, (4 * hidden,))
+            outs.append(_lstm_direction(x, w_ih, w_hh, b_ih + b_hh, reverse))
+        return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,79 @@
+"""LCNN: max-feature-map CNN + BLSTM classifier (ASVspoof 2021 LA baseline).
+
+Parity target: reference src/audiofakedetect/models.py:68-131 (LCNN),
+:161-209 (MaxFeatureMap2D), :212-237 (BLSTMLayer).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    BatchNorm,
+    BLSTMLayer,
+    Conv2d,
+    Dropout,
+    max_feature_map_2d,
+    max_pool_2x2,
+)
+
+
+class LCNN(nn.Module):
+    """LCNN with 2D convolutions for audio deepfake detection."""
+
+    classes: int = 2
+    in_channels: int = 1
+    lstm_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # [B, C, F, T] -> permute F/T (reference models.py:125) -> NHWC
+        x = jnp.transpose(x, (0, 3, 2, 1))  # [B, T, F, C]
+
+        x = Conv2d(64, 5, padding=2, name="lcnn_0")(x)
+        x = max_feature_map_2d(x)
+        x = max_pool_2x2(x)
+        x = Conv2d(64, 1, padding=0, name="lcnn_3")(x)
+        x = max_feature_map_2d(x)
+        x = BatchNorm(affine=False, name="lcnn_5")(x, train)
+        x = Conv2d(96, 3, padding=1, name="lcnn_6")(x)
+        x = max_feature_map_2d(x)
+        x = max_pool_2x2(x)
+        x = BatchNorm(affine=False, name="lcnn_9")(x, train)
+        x = Conv2d(96, 1, padding=0, name="lcnn_10")(x)
+        x = max_feature_map_2d(x)
+        x = BatchNorm(affine=False, name="lcnn_12")(x, train)
+        x = Conv2d(128, 3, padding=1, name="lcnn_13")(x)
+        x = max_feature_map_2d(x)
+        x = max_pool_2x2(x)
+        x = Conv2d(128, 1, padding=0, name="lcnn_16")(x)
+        x = max_feature_map_2d(x)
+        x = BatchNorm(affine=False, name="lcnn_18")(x, train)
+        x = Conv2d(64, 3, padding=1, name="lcnn_19")(x)
+        x = max_feature_map_2d(x)
+        x = BatchNorm(affine=False, name="lcnn_21")(x, train)
+        x = Conv2d(64, 1, padding=0, name="lcnn_22")(x)
+        x = max_feature_map_2d(x)
+        x = BatchNorm(affine=False, name="lcnn_24")(x, train)
+        x = Conv2d(64, 3, padding=1, name="lcnn_25")(x)
+        x = max_feature_map_2d(x)
+        x = max_pool_2x2(x)
+        x = Dropout(0.7, name="lcnn_drop")(x, train)
+
+        # NHWC [B, T', F', 32]; reference flattens (channels, F') per time
+        # step in NCHW (C, W) order: permute(0,2,1,3).view(B, T', C*W)
+        # (models.py:126-128).
+        b, t = x.shape[0], x.shape[1]
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, -1)
+
+        feat = (self.lstm_channels // 16) * 32
+        x = BLSTMLayer(feat, feat, name="lstm_0")(x)
+        x = BLSTMLayer(feat, feat, name="lstm_1")(x)
+        x = nn.Dense(self.classes, name="fc")(x)
+        return jnp.mean(x, axis=1)
+
+    def get_name(self) -> str:
+        return "LCNN"

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed runtime is NCCL DDP: gradient all-reduce,
+``DistributedSampler`` rank slicing, ``all_gather`` of eval outputs and
+SyncBatchNorm moment exchange (reference:
+src/audiofakedetect/train_classifier.py:44-47, 119-127, 322, 453-459).
+
+Here the whole of that is expressed as *data placement*: one
+``jax.sharding.Mesh`` over the slice, the batch sharded over the ``data``
+axis, parameters replicated.  Inside a single jitted train step XLA then
+derives every collective itself — gradient ``psum`` from the replicated
+parameter layout, global batch-norm moments from reductions over the sharded
+batch axis (== SyncBatchNorm), eval-metric sums likewise.  There is no
+hand-written communication code to keep correct.
+
+For multi-host slices, ``jax.distributed.initialize`` + per-host data
+feeding via ``jax.make_array_from_process_local_data`` replaces torchrun's
+rendezvous.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over all (or the given) devices.
+
+    Default is a 1-D ``('data',)`` mesh — the parallelism the model family
+    needs (models are ~240k params; batch is the only large axis).  Extra
+    axes (e.g. ``('data', 'model')``) are supported for the AST/transformer
+    path.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over ``axis``."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree with the batch axis sharded over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, optimizer state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,157 @@
+"""Jitted train / eval steps: transform + model + loss + optimizer in one jit.
+
+The reference splits a training step across torch modules (transform under
+no_grad, normalize, forward, backward, Adam step — reference:
+src/audiofakedetect/train_classifier.py:945-995, each a separate kernel
+launch chain).  Here the entire step is a single compiled XLA program.  With
+the batch sharded over the mesh's ``data`` axis and parameters replicated:
+
+* gradients sync automatically (XLA inserts the ``psum``),
+* batch-norm moments are global batch statistics (== SyncBatchNorm),
+* eval statistics reduce globally.
+
+Optimizer parity: torch ``Adam(lr, weight_decay=wd)`` applies L2 *into the
+gradient* before the moment updates — i.e. ``add_decayed_weights`` ahead of
+``scale_by_adam`` (NOT decoupled AdamW decay).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.audio import augment
+
+MAX_LABELS = 32  # dense per-label metric vector size (labels are A..N -> <14)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def make_optimizer(learning_rate: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-in-gradient)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    example_image: jnp.ndarray,
+    seed: int = 0,
+    variables: Optional[Dict[str, Any]] = None,
+) -> TrainState:
+    rng = jax.random.key(seed)
+    if variables is None:
+        init_rng, rng = jax.random.split(rng)
+        variables = model.init(init_rng, example_image, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the fused train step (donated state; jit once per config)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, aug_rng, dropout_rng = jax.random.split(state.rng, 3)
+        audio = batch["audio"]
+        labels = (batch["label"] != 0).astype(jnp.int32)
+        if aug_contrast or aug_noise:
+            audio = augment(aug_rng, audio, aug_contrast, aug_noise)
+        image = jax.lax.stop_gradient(transform(audio))
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+            return loss, (out, updates["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
+        new_state = TrainState(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Build the fused eval step.
+
+    Per-label statistics are dense ``[MAX_LABELS]`` count vectors (instead of
+    the reference's Python dicts + ``all_gather_object``,
+    train_classifier.py:453-459) so everything stays a tensor reduction that
+    works identically on one chip or a full mesh.  ``weight`` masks padded
+    tail entries of the final partial batch.
+    """
+
+    def eval_step(params, batch_stats, batch):
+        audio = batch["audio"]
+        labels = batch["label"].astype(jnp.int32)
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(labels.shape, jnp.float32)
+        image = transform(audio)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        )
+        out_max = jnp.argmax(out, -1)
+        y = (labels != 0).astype(jnp.int32)
+        ok = (out_max == y).astype(jnp.float32) * weight
+        onehot = jax.nn.one_hot(labels, MAX_LABELS, dtype=jnp.float32)
+        onehot = onehot * weight[:, None]
+        return {
+            "ok_per_label": jnp.sum(onehot * ok[:, None], axis=0),
+            "count_per_label": jnp.sum(onehot, axis=0),
+            "ok_sum": jnp.sum(ok),
+            "total": jnp.sum(weight),
+            "y": y,
+            "out_max": out_max,
+            "scores": jax.nn.softmax(out, axis=-1)[:, 1],
+            "ok_mask": ok > 0,
+        }
+
+    return jax.jit(eval_step)

@@ -1,0 +1,169 @@
+"""Transform pipeline factory: audio batch -> normalized model input image.
+
+Equivalent of the reference's ``get_transforms``
+(reference: src/audiofakedetect/wavelet_math.py:266-452), as a pure function
+suitable for fusion into the jitted train/eval step.  The reference computes
+the transform under ``torch.no_grad`` in a separate pass
+(train_classifier.py:965-967); here it simply lives in front of the model
+inside one jit — XLA fuses log/normalize into the surrounding ops and no
+gradient flows into it because no parameters feed it.
+
+Normalization statistics are computed with a jitted Welford pass over the
+training loader (``compute_normalization``) and cached as a pickle keyed by
+the same config string the reference uses.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lfcc import compute_deltas, lfcc
+from ..ops.normalize import (
+    normalize,
+    welford_finalize,
+    welford_init,
+    welford_update,
+)
+from ..ops.stft import spectrogram
+from ..ops.wpt import packet_image
+from ..utils.config import DotDict
+from ..utils.naming import norm_cache_prefix
+
+TransformFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def make_transform(args: DotDict) -> TransformFn:
+    """Build the time-frequency transform: ``[B, 1, T] -> [B, C, F, T']``."""
+    features = args.features or "none"
+    log_scale = features == "none" and args.log_scale
+    loss_less = args.loss_less == "True" or args.loss_less is True
+
+    if args.transform == "stft":
+        if loss_less:
+            raise ValueError(
+                "Sign channel not possible for stft due to complex data type."
+            )
+        n_fft = args.num_of_scales * 2 - 1
+
+        def base(audio: jnp.ndarray) -> jnp.ndarray:
+            return spectrogram(
+                audio,
+                n_fft=n_fft,
+                hop_length=args.hop_length,
+                power=args.power,
+                log_scale=bool(log_scale),
+            )
+
+    elif args.transform == "packets":
+        level = int(math.log2(args.num_of_scales))
+
+        def base(audio: jnp.ndarray) -> jnp.ndarray:
+            return packet_image(
+                audio,
+                args.wavelet,
+                level=level,
+                log_scale=bool(log_scale),
+                loss_less=loss_less,
+                power=args.power,
+            )
+
+    else:
+        raise ValueError(f"Unknown transform {args.transform!r}")
+
+    stack = [base]
+    if "lfcc" in features or "delta" in features:
+
+        def lfcc_step(x: jnp.ndarray) -> jnp.ndarray:
+            return lfcc(
+                x,
+                sample_rate=args.sample_rate,
+                f_min=args.f_min,
+                f_max=args.f_max,
+                num_of_scales=args.num_of_scales,
+            )
+
+        stack.append(lfcc_step)
+    if "delta" in features:
+        stack.append(compute_deltas)
+    if "doubledelta" in features:
+        stack.append(compute_deltas)
+
+    def transform(audio: jnp.ndarray) -> jnp.ndarray:
+        x = audio
+        for fn in stack:
+            x = fn(x)
+        return x
+
+    return transform
+
+
+def compute_normalization(
+    transform: TransformFn,
+    batches,
+    num_channels: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Welford mean/std of the transformed training set, per channel.
+
+    ``batches`` yields host audio arrays ``[B, 1, T]``.  The reference
+    iterates the training set at batch size 4000 and reduces over
+    (batch, time, freq) keeping channels (reference:
+    wavelet_math.py:419-441, permute at :440).
+    """
+    state = welford_init(num_channels)
+    for batch in batches:
+        image = transform(jnp.asarray(batch))  # [B, C, F, T]
+        state = welford_update(state, jnp.transpose(image, (0, 3, 2, 1)))
+    mean, std = welford_finalize(state)
+    return np.asarray(mean), np.asarray(std)
+
+
+def get_transforms(
+    args: DotDict,
+    train_batches: Optional[Callable[[], object]] = None,
+    verbose: bool = True,
+) -> Tuple[TransformFn, np.ndarray, np.ndarray]:
+    """Build transform + normalization stats with the reference's caching.
+
+    Returns ``(transform, mean, std)``; pass the stats to
+    :func:`normalized_transform`.
+    """
+    transform = make_transform(args)
+    loss_less = args.loss_less == "True" or args.loss_less is True
+    num_channels = 2 if loss_less else 1
+
+    mean = np.asarray(args.mean, dtype=np.float32)
+    std = np.asarray(args.std, dtype=np.float32)
+    if args.data_path is not None and args.log_dir is not None:
+        cache = norm_cache_prefix(args) + "_mean_std.pkl"
+        if os.path.exists(cache):
+            if verbose:
+                print("Loading pre calculated mean and std from file.")
+            with open(cache, "rb") as fh:
+                mean, std = pickle.load(fh)
+            mean = np.asarray(mean, dtype=np.float32)
+            std = np.asarray(std, dtype=np.float32)
+        elif args.calc_normalization and train_batches is not None:
+            if verbose:
+                print("computing mean and std values.", flush=True)
+            mean, std = compute_normalization(
+                transform, train_batches(), num_channels
+            )
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "wb") as fh:
+                pickle.dump([mean, std], fh)
+    return transform, mean, std
+
+
+def normalized_transform(
+    transform: TransformFn, mean: np.ndarray, std: np.ndarray
+) -> TransformFn:
+    def fn(audio: jnp.ndarray) -> jnp.ndarray:
+        return normalize(transform(audio), mean, std)
+
+    return fn

@@ -1,0 +1,188 @@
+"""Tests for the STFT and wavelet-packet front-ends.
+
+Coverage mirrors the reference's shape tests (reference:
+tests/test_transforms.py:20-142) and adds the numeric-parity tests the
+reference lacks: golden comparison against ``torch.stft`` (torch is a
+test-only oracle) and perfect-reconstruction / ordering invariants for the
+WPT.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.ops import (
+    get_wavelet,
+    graycode_permutation,
+    packet_image,
+    spectrogram,
+    wpt_analysis,
+    wpt_output_length,
+    wpt_synthesis,
+)
+
+
+class TestSpectrogram:
+    def test_default_shape(self):
+        x = np.random.RandomState(0).randn(2, 1, 22050).astype(np.float32)
+        out = spectrogram(jnp.asarray(x))
+        assert out.shape == (2, 1, 256, 101)
+
+    def test_large_shape(self):
+        x = np.random.RandomState(0).randn(2, 1, 22050).astype(np.float32)
+        out = spectrogram(jnp.asarray(x), n_fft=512, hop_length=2)
+        assert out.shape == (2, 1, 257, 11026)
+
+    @pytest.mark.parametrize("n_fft,hop,power", [(511, 220, 2.0), (256, 128, 1.0)])
+    def test_golden_vs_torch(self, n_fft, hop, power):
+        torch = pytest.importorskip("torch")
+        x = np.random.RandomState(1).randn(3, 22050).astype(np.float32)
+        st = torch.stft(
+            torch.from_numpy(x),
+            n_fft=n_fft,
+            hop_length=hop,
+            window=torch.hann_window(n_fft),
+            center=True,
+            pad_mode="reflect",
+            onesided=True,
+            return_complex=True,
+        )
+        ref = st.abs().pow(power).numpy()
+        out = np.asarray(spectrogram(jnp.asarray(x), n_fft=n_fft, hop_length=hop, power=power))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestWPT:
+    def test_length_rule(self):
+        # pywt: n' = floor((n + L - 1) / 2); anchors from the bundled
+        # checkpoints' geometry (1 s @ 22050 Hz, level 8).
+        assert wpt_output_length(22050, 2, 8) == 87  # haar
+        assert wpt_output_length(22050, 10, 8) == 95  # sym5
+        assert wpt_output_length(22050, 24, 8) == 109  # coif4
+        assert wpt_output_length(22050, 16, 7) == 187  # db8, level 7
+
+    @pytest.mark.parametrize(
+        "wavelet,level,t_out",
+        [("haar", 8, 87), ("sym5", 8, 95), ("coif4", 8, 109), ("db8", 7, 187)],
+    )
+    def test_shapes(self, wavelet, level, t_out):
+        x = np.random.RandomState(0).randn(2, 22050).astype(np.float32)
+        wp = wpt_analysis(jnp.asarray(x), wavelet, level)
+        assert wp.shape == (2, 2**level, t_out)
+
+    def test_haar_level1_hand_values(self):
+        # dwt([1,2,3,4], haar): cA = [(1+2)/sqrt2, (3+4)/sqrt2],
+        # cD = [(1-2)/sqrt2, (3-4)/sqrt2] (pywt/ptwt agree for even input).
+        x = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        wp = wpt_analysis(x, "haar", 1, natural_order=True)
+        c = 1.0 / np.sqrt(2.0)
+        np.testing.assert_allclose(wp[0, 0], [3 * c, 7 * c], rtol=1e-6)
+        np.testing.assert_allclose(wp[0, 1], [-c, -c], rtol=1e-6)
+
+    def test_haar_odd_length_reflect(self):
+        # odd input: ptwt pads right by one (reflect): [1,2,3] -> [1,2,3,2]
+        x = jnp.asarray([[1.0, 2.0, 3.0]])
+        wp = wpt_analysis(x, "haar", 1, natural_order=True)
+        c = 1.0 / np.sqrt(2.0)
+        np.testing.assert_allclose(wp[0, 0], [3 * c, 5 * c], rtol=1e-6)
+
+    def test_graycode_order_matches_ptwt_recursion(self):
+        # Recompute ptwt's get_graycode_order string recursion independently
+        # and compare against the bit-trick permutation.
+        def graycode_strings(level, x="a", y="d"):
+            order = [x, y]
+            for _ in range(level - 1):
+                order = [x + p for p in order] + [y + p for p in reversed(order)]
+            return order
+
+        for level in (1, 2, 3, 5, 8):
+            strings = graycode_strings(level)
+            natural = [int(s.replace("a", "0").replace("d", "1"), 2) for s in strings]
+            np.testing.assert_array_equal(graycode_permutation(level), natural)
+
+    @pytest.mark.parametrize("wavelet", ["haar", "db4", "sym5", "coif2"])
+    @pytest.mark.parametrize("t", [512, 1000, 22050])
+    def test_perfect_reconstruction(self, wavelet, t):
+        rng = np.random.RandomState(42)
+        x = rng.randn(2, t).astype(np.float32)
+        level = 4
+        wp = wpt_analysis(jnp.asarray(x), wavelet, level)
+        rec = wpt_synthesis(wp, wavelet, level, t)
+        np.testing.assert_allclose(np.asarray(rec), x, atol=5e-5)
+
+    def test_frequency_ordering_with_pure_tone(self):
+        # A pure tone must concentrate its energy in the frequency-ordered
+        # band matching f / (sr/2) * 2**level; natural order would scatter it.
+        sr, level = 22050, 8
+        t = np.arange(sr) / sr
+        for f in (1000.0, 3000.0, 8000.0):
+            x = np.sin(2 * np.pi * f * t).astype(np.float32)[None]
+            wp = np.asarray(wpt_analysis(jnp.asarray(x), "sym8", level))
+            energy = (wp**2).sum(-1)[0]
+            expected = f / (sr / 2) * 2**level
+            assert abs(int(np.argmax(energy)) - expected) <= 2, (f, np.argmax(energy))
+
+    def test_packet_image_shapes(self):
+        # Reference shape anchors (reference: tests/test_transforms.py:79-142).
+        x = np.random.RandomState(0).randn(2, 22050).astype(np.float32)
+        out = packet_image(jnp.asarray(x), "db8", level=7, log_scale=True)
+        assert out.shape == (2, 1, 128, 187)
+        out = packet_image(jnp.asarray(x), "db8", level=7, log_scale=True, loss_less=True)
+        assert out.shape == (2, 2, 128, 187)
+        # channel input folding
+        out = packet_image(jnp.asarray(x)[:, None, :], "sym8", level=7, log_scale=True)
+        assert out.shape == (2, 1, 128, 187)
+
+    def test_sign_channel_values(self):
+        x = np.random.RandomState(0).randn(2, 1024).astype(np.float32)
+        out = np.asarray(packet_image(jnp.asarray(x), "haar", level=3, log_scale=True, loss_less=True))
+        signs = out[:, 1]
+        assert set(np.unique(signs)).issubset({-1.0, 1.0})
+        wp = np.asarray(wpt_analysis(jnp.asarray(x), "haar", 3))
+        np.testing.assert_array_equal(signs, np.where(wp < 0, -1.0, 1.0))
+
+
+class TestWaveletFilters:
+    def test_db2_closed_form(self):
+        w = get_wavelet("db2")
+        s3 = np.sqrt(3.0)
+        exact = np.array([1 + s3, 3 + s3, 3 - s3, 1 - s3]) / (4 * np.sqrt(2.0))
+        np.testing.assert_allclose(w.rec_lo, exact, atol=1e-12)
+
+    @pytest.mark.parametrize(
+        "name", ["haar", "db4", "db8", "db10", "sym5", "sym8", "coif2", "coif4"]
+    )
+    def test_orthonormality(self, name):
+        h = get_wavelet(name).rec_lo
+        assert abs(np.sum(h) - np.sqrt(2.0)) < 1e-10
+        for m in range(len(h) // 2):
+            ip = np.dot(h[: len(h) - 2 * m], h[2 * m :])
+            assert abs(ip - (1.0 if m == 0 else 0.0)) < 1e-9, (name, m)
+
+    def test_sym5_matches_pywt_table(self):
+        # Published pywt sym5 rec_lo (wavelets.pybytes.com).
+        expected = [
+            0.019538882735286728,
+            -0.021101834024758855,
+            -0.17532808990845047,
+            0.016602105764522319,
+            0.6339789634582119,
+            0.7234076904024206,
+            0.1993975339773936,
+            -0.039134249302383,
+            0.029519490925774,
+            0.027333068345078,
+        ]
+        np.testing.assert_allclose(get_wavelet("sym5").rec_lo, expected, atol=1e-8)
+
+    def test_coif1_matches_published_table(self):
+        expected = [
+            -0.0156557281,
+            -0.0727326195,
+            0.3848648469,
+            0.8525720202,
+            0.3378976625,
+            -0.0727326195,
+        ]
+        np.testing.assert_allclose(get_wavelet("coif1").rec_lo, expected, atol=1e-9)
