@@ -1,0 +1,93 @@
+"""Model factory: experiment config -> flax model instance.
+
+Parity target: reference ``get_model`` (src/audiofakedetect/models.py:710-765)
+with the same model-name vocabulary:
+
+* ``"lcnn"``      — LCNN with lstm_channels derived from the feature mode
+                    (doubledelta 60 / delta 40 / lfcc 20 / else num_of_scales);
+* ``"gridmodel"`` — string-defined model from ``args.model_data``;
+* ``"modules"``   — a DCNN-family class named by ``args.module`` (the
+                    reference injects the class object through the exec'd
+                    config; here a string name or a callable both work).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+from ..utils.config import DotDict
+from .dcnn import DCNN
+from .gridmodel import get_gridsearch_model
+from .lcnn import LCNN
+from .regression import Regression
+
+_MODULE_REGISTRY = {
+    "DCNN": dict(with_dropout=True, with_dilation=True),
+    "DCNNxDropout": dict(with_dropout=False, with_dilation=True),
+    "DCNNxDilation": dict(with_dropout=True, with_dilation=False),
+}
+
+
+def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) -> DCNN:
+    time_dim = int(args.input_dim[-1]) // 8 + int(args.time_dim_add or 0)
+    return DCNN(
+        in_channels=in_channels,
+        ochannels1=args.ochannels1 or 64,
+        ochannels2=args.ochannels2 or 64,
+        ochannels3=args.ochannels3 or 96,
+        ochannels4=args.ochannels4 or 128,
+        ochannels5=args.ochannels5 or 32,
+        kernel1=args.kernel1 or 3,
+        time_dim=time_dim,
+        flattend_size=args.flattend_size or 320,
+        dropout_cnn=args.dropout_cnn if args.dropout_cnn is not None else 0.6,
+        dropout_lstm=args.dropout_lstm if args.dropout_lstm is not None else 0.2,
+        nclasses=nclasses,
+        **_MODULE_REGISTRY[variant],
+    )
+
+
+def get_model(
+    args: DotDict,
+    model_name: str,
+    nclasses: int = 2,
+    in_channels: int = 1,
+    lead: bool = False,
+) -> Union[LCNN, Any]:
+    """Build the model named by ``model_name`` from the experiment config."""
+    if model_name == "lcnn":
+        features = args.features or "none"
+        if "doubledelta" in features:
+            lstm_channels = 60
+        elif "delta" in features:
+            lstm_channels = 40
+        elif "lfcc" in features:
+            lstm_channels = 20
+        else:
+            lstm_channels = int(args.num_of_scales)
+        return LCNN(
+            classes=nclasses,
+            in_channels=in_channels,
+            lstm_channels=lstm_channels,
+        )
+    if model_name == "gridmodel":
+        if args.model_data is None:
+            raise RuntimeError(
+                "Config dict does not contain the key model_data,"
+                "which should hold the list like model structure."
+            )
+        return get_gridsearch_model(args.model_data)
+    if model_name == "modules":
+        module = args.module
+        if callable(module) and not isinstance(module, str):
+            name = getattr(module, "__name__", None) or str(module)
+        else:
+            name = str(module)
+        if name in _MODULE_REGISTRY:
+            return _build_dcnn(args, name, nclasses, in_channels)
+        if name == "Regression":
+            return Regression(nclasses=nclasses)
+        if callable(module):
+            return module(args)
+        raise RuntimeError(f"Unknown module {name!r}.")
+    raise RuntimeError(f"Model with model string '{model_name}' does not exist.")

@@ -68,7 +68,9 @@ def _group_torch_layers(
     for key, val in state.items():
         m = re.match(r"^(\w+)\.(\d+)\.(.+)$", key)
         if m:
-            blocks[m.group(1)][int(m.group(2))][m.group(3)] = val
+            # BLSTMLayer wraps its torch LSTM as ``l_blstm.`` — flatten it.
+            sub = m.group(3).replace("l_blstm.", "")
+            blocks[m.group(1)][int(m.group(2))][sub] = val
         else:
             m2 = re.match(r"^(\w+)\.(.+)$", key)
             if m2:

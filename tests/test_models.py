@@ -69,6 +69,10 @@ class TestDCNNParity:
         )
         if ref is None:
             return
+        # The coif4 snapshot predates the reference's current Sequential
+        # indices; re-key it through our kind-ordered export so the modern
+        # reference class can load it.
+        state = export_state_dict(variables, layout="dcnn")
         ref.load_state_dict({k: torch.from_numpy(v) for k, v in state.items()})
         ref.eval()
         with torch.no_grad():
@@ -77,7 +81,8 @@ class TestDCNNParity:
 
     @pytest.mark.parametrize("variant", ["DCNNxDropout", "DCNNxDilation"])
     def test_ablation_variants(self, variant):
-        ref = reference_dcnn(variant, input_dim=[2, 1, 256, 101], flattend_size=2048)
+        flattend = 320 if variant == "DCNNxDropout" else 2048
+        ref = reference_dcnn(variant, input_dim=[2, 1, 256, 101], flattend_size=flattend)
         if ref is None:
             pytest.skip("reference checkout unavailable")
         ref.eval()
