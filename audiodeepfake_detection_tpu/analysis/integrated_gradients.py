@@ -1,0 +1,171 @@
+"""Integrated-gradients attribution, vmapped over the interpolation path.
+
+Parity target: the reference's TF-tutorial port
+(reference: src/audiofakedetect/integrated_gradients.py:13-138 and
+train_classifier.py:576-844): alphas in ``linspace(0, 1, m_steps+1)``,
+gradients of ``softmax(logits)[target]`` w.r.t. the interpolated images,
+trapezoid integral, scaled by ``image - baseline``; running means over up to
+2500 samples per target saved as ``.npy``.
+
+The reference runs 201 separate forward+backward passes per sample; here the
+whole alpha batch is one ``vmap``-ed ``jax.grad`` inside a single jit —
+orders of magnitude fewer dispatches on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Mean:
+    """Running mean accumulator (reference integrated_gradients.py:13-47)."""
+
+    def __init__(self) -> None:
+        self.count = 0
+        self.mean: Optional[np.ndarray] = None
+
+    def update(self, batch_vals: np.ndarray) -> None:
+        batch_vals = np.asarray(batch_vals)
+        if self.mean is None:
+            self.mean = np.zeros_like(batch_vals, dtype=np.float32)
+        self.count += 1
+        self.mean += batch_vals
+
+    def finalize(self) -> np.ndarray:
+        assert self.mean is not None
+        return np.mean(self.mean, axis=0).squeeze() / self.count
+
+
+def interpolate_images(
+    baseline: jnp.ndarray, image: jnp.ndarray, alphas: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear interpolation along the attribution path."""
+    a = alphas.reshape(-1, *([1] * image.ndim))
+    return baseline[None] + a * (image[None] - baseline[None])
+
+
+def integral_approximation(gradients: jnp.ndarray) -> jnp.ndarray:
+    """Riemann trapezoid over the alpha axis."""
+    grads = (gradients[:-1] + gradients[1:]) / 2.0
+    return jnp.mean(grads, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "m_steps"))
+def integrated_grad(
+    apply_fn,
+    variables,
+    image: jnp.ndarray,
+    target_class_idx: jnp.ndarray,
+    m_steps: int = 200,
+) -> jnp.ndarray:
+    """Integrated gradients for one image ``[C, F, T]``."""
+    baseline = jnp.zeros_like(image)
+    alphas = jnp.linspace(0.0, 1.0, m_steps + 1)
+    path = interpolate_images(baseline, image, alphas)
+
+    def prob(img):
+        logits = apply_fn(variables, img[None], train=False)[0]
+        return jax.nn.softmax(logits, axis=-1)[target_class_idx]
+
+    grads = jax.vmap(jax.grad(prob))(path)
+    avg = integral_approximation(grads)
+    return (image - baseline) * avg
+
+
+def run_integrated_gradients(
+    trainer,
+    model_file: str = "ig",
+    times_per_target: Optional[int] = None,
+) -> None:
+    """Accumulate mean attributions over the cross test set and save ``.npy``.
+
+    Mirrors the reference's target bookkeeping
+    (train_classifier.py:678-844): with ``args.target`` unset both classes
+    are accumulated up to ``times`` samples each.
+    """
+    args = trainer.args
+    plot_path = args.log_dir + "/plots/"
+    os.makedirs(plot_path, exist_ok=True)
+
+    welford_ig = Mean()
+    welford_sal = Mean()
+
+    both = args.target is None
+    try:
+        target_value = int(args.target) if args.target is not None else 1
+    except ValueError:
+        target_value = 1
+    times = times_per_target or args.ig_times_per_target or 2500
+    index = index_0 = index_1 = 0
+    m_steps = 200
+
+    apply_fn = trainer.model.apply
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+
+    last_image = None
+    for batch in trainer.cross_loader_test.epoch(0, shuffle=False):
+        labels = (np.asarray(batch["label"]) != 0).astype(np.int64)
+        weight = np.asarray(batch.get("weight", np.ones(len(labels))))
+        images = np.asarray(trainer.transform(jnp.asarray(batch["audio"])))
+        for i in range(images.shape[0]):
+            if weight[i] == 0:
+                continue
+            c_label = int(labels[i])
+            if not both and c_label != target_value:
+                continue
+            if both and c_label == 0 and index_0 >= times:
+                continue
+            if both and c_label == 1 and index_1 >= times:
+                continue
+            if not both and index >= times:
+                break
+            attributions = integrated_grad(
+                apply_fn,
+                variables,
+                jnp.asarray(images[i]),
+                jnp.asarray(c_label),
+                m_steps=m_steps,
+            )
+            mask = np.sum(np.asarray(attributions), axis=0)[None]
+            welford_ig.update(mask)
+            welford_sal.update(images[i])
+            last_image = images[i]
+            if c_label == 0:
+                index_0 += 1
+            else:
+                index_1 += 1
+            index += 1
+        if both and index_0 >= times and index_1 >= times:
+            break
+        if not both and index >= times:
+            break
+
+    print("index 0 ", index_0)
+    print("index 1 ", index_1)
+    print("index ", index)
+    if welford_ig.mean is None:
+        print("no samples matched the attribution targets")
+        return
+    mean_ig = welford_ig.finalize()
+    mean_sal = welford_sal.finalize()
+
+    target_str = "01" if both else str(target_value)
+    path = (
+        plot_path
+        + model_file.replace("/", "_")
+        + "_"
+        + "-".join(args.cross_sources)
+        + f"x{times}_target-{target_str}"
+    )
+    np.save(path + "_integrated_gradients.npy", mean_ig)
+    np.save(path + "_mean_images.npy", np.squeeze(mean_sal))
+    np.save(path + "_last_image.npy", np.squeeze(last_image))

@@ -55,11 +55,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the batch axis sharded over the mesh."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
-    )
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch pytree with the batch axis sharded over the mesh.
+
+    Batches whose leading dimension is not divisible by the mesh axis size
+    fall back to replication (correct, just not distributed) — the loaders
+    normally pad eval batches to a fixed divisible shape.
+    """
+    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+
+    def place(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
+            return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(mesh: Mesh, tree):

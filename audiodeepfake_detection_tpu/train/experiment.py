@@ -1,0 +1,318 @@
+"""Experiment driver: config -> grid -> transforms -> model -> Trainer.
+
+TPU-native equivalent of the reference's ``main``
+(src/audiofakedetect/train_classifier.py:1084-1368): grid search over a
+dict-of-lists config with a seed axis, per-experiment seeding, transform +
+normalization construction, model factory, five data loaders
+(train/val/test/cross-val/cross-test), Trainer with
+``only_testing`` / ``only_ig`` / train modes, per-seed result accumulation,
+true-index dumps, and LaTeX result emission.
+
+Run as ``python -m audiodeepfake_detection_tpu.train.experiment [flags]``;
+flag names match the reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..data.dataset import get_custom_dataset
+from ..data.loader import FrameLoader
+from ..models.factory import get_model
+from ..parallel.mesh import get_mesh
+from ..utils.config import (
+    DotDict,
+    build_new_grid,
+    default_config,
+    load_grid_config,
+)
+from ..utils.naming import experiment_model_file, tensorboard_dir
+from .results import print_results
+from .trainer import Trainer
+from .transforms import get_transforms, normalized_transform
+
+
+def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """CLI flags with the reference's names/defaults (utils.py:30-317)."""
+    d = default_config()
+    parser.add_argument("--log-dir", type=str, default=d.log_dir)
+    parser.add_argument("--batch-size", type=int, default=d.batch_size)
+    parser.add_argument("--learning-rate", type=float, default=d.learning_rate)
+    parser.add_argument("--weight-decay", type=float, default=d.weight_decay)
+    parser.add_argument("--epochs", type=int, default=d.epochs)
+    parser.add_argument("--transform", choices=["stft", "packets"], default=d.transform)
+    parser.add_argument(
+        "--features",
+        choices=["lfcc", "delta", "doubledelta", "none"],
+        default=d.features,
+    )
+    parser.add_argument("--num-of-scales", type=int, default=d.num_of_scales)
+    parser.add_argument("--wavelet", type=str, default=d.wavelet)
+    parser.add_argument("--sample-rate", type=int, default=d.sample_rate)
+    parser.add_argument("--window-size", type=int, default=d.window_size)
+    parser.add_argument("--f-min", type=float, default=d.f_min)
+    parser.add_argument("--f-max", type=float, default=d.f_max)
+    parser.add_argument("--hop-length", type=int, default=d.hop_length)
+    parser.add_argument("--log-scale", action="store_true")
+    parser.add_argument("--block-norm", action="store_true")
+    parser.add_argument("--power", type=float, default=d.power)
+    parser.add_argument("--dropout-cnn", type=float, default=d.dropout_cnn)
+    parser.add_argument("--dropout-lstm", type=float, default=d.dropout_lstm)
+    parser.add_argument("--loss-less", choices=["True", "False"], default=d.loss_less)
+    parser.add_argument("--random-seeds", action="store_true")
+    parser.add_argument("--aug-contrast", action="store_true")
+    parser.add_argument("--aug-noise", action="store_true")
+    parser.add_argument("--calc-normalization", action="store_true")
+    parser.add_argument("--mean", type=float, nargs="+", default=d.mean)
+    parser.add_argument("--std", type=float, nargs="+", default=d.std)
+    parser.add_argument("--data-prefix", type=str, default=d.data_prefix)
+    parser.add_argument("--unknown-prefix", type=str, default=None)
+    parser.add_argument(
+        "--cross-sources", type=str, nargs="+", default=d.cross_sources
+    )
+    parser.add_argument("--init-seeds", type=int, nargs="+", default=d.init_seeds)
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--flattend-size", type=int, default=d.flattend_size)
+    parser.add_argument(
+        "--model", choices=["lcnn", "gridmodel", "modules"], default=d.model
+    )
+    parser.add_argument("--nclasses", type=int, default=d.nclasses)
+    parser.add_argument("--enable-gs", action="store_true")
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--pbar", action="store_true")
+    parser.add_argument(
+        "--validation-interval", type=int, default=d.validation_interval
+    )
+    parser.add_argument("--only-testing", type=bool, default=False)
+    parser.add_argument("--ckpt-every", type=int, default=d.ckpt_every)
+    parser.add_argument("--time-dim-add", type=int, default=d.time_dim_add)
+    parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
+    parser.add_argument("--only-ig", action="store_true")
+    parser.add_argument("--config", type=str, default=None)
+    return parser
+
+
+def get_input_dims(args: DotDict, transform) -> list:
+    """Probe the transform output shape (reference utils.py:589-621)."""
+    t = int(args.seconds * args.sample_rate)
+    probe = np.zeros((1, 1, t), dtype=np.float32)
+    shape = list(np.asarray(transform(probe)).shape)
+    shape[0] = args.batch_size
+    return shape
+
+
+def create_data_loaders(args: DotDict):
+    """Five loaders: train/val/test + cross val/test
+    (reference train_classifier.py:50-229)."""
+
+    def make(ds_type, limit, asv_suffix, data_path, only_use, only_test_folders=None,
+             include_index=False):
+        asv = args.asvspoof_name
+        if asv is not None and "LA" in str(asv):
+            asv = f"{asv}_{asv_suffix}"
+        ds = get_custom_dataset(
+            data_path=data_path,
+            ds_type=ds_type,
+            only_use=only_use,
+            only_test_folders=only_test_folders,
+            save_path=args.save_path,
+            limit=limit,
+            asvspoof_name=asv,
+            file_type=args.file_type,
+            resample_rate=args.sample_rate,
+            seconds=args.seconds,
+        )
+        return ds
+
+    train_ds = make("train", args.limit_train[0], "T", args.data_path, args.only_use)
+    val_ds = make("val", args.limit_train[1], "D", args.data_path, args.only_use)
+    test_ds = make("test", args.limit_train[2], "E", args.data_path, args.only_use)
+
+    train_loader = FrameLoader(
+        train_ds,
+        args.batch_size,
+        shuffle=True,
+        drop_last=True,
+        seed=int(args.seed or 0),
+    )
+    val_loader = FrameLoader(val_ds, args.batch_size)
+    test_loader = FrameLoader(
+        test_ds, args.batch_size, include_index=bool(args.get_details)
+    )
+
+    cross_loader_val = cross_loader_test = None
+    if args.cross_data_path is not None:
+        cross_test_ds = get_custom_dataset(
+            data_path=args.cross_data_path,
+            ds_type="test",
+            only_test_folders=args.only_test_folders,
+            only_use=args.cross_sources,
+            save_path=args.save_path,
+            limit=args.cross_limit[2],
+            asvspoof_name=args.asvspoof_name_cross,
+            file_type=args.file_type,
+            resample_rate=args.sample_rate,
+            seconds=args.seconds,
+        )
+        cross_val_ds = get_custom_dataset(
+            data_path=args.cross_data_path,
+            ds_type="val",
+            only_test_folders=args.only_test_folders,
+            only_use=args.cross_sources,
+            save_path=args.save_path,
+            limit=args.cross_limit[1],
+            asvspoof_name=args.asvspoof_name_cross,
+            file_type=args.file_type,
+            resample_rate=args.sample_rate,
+            seconds=args.seconds,
+        )
+        cross_loader_val = FrameLoader(cross_val_ds, args.batch_size)
+        cross_loader_test = FrameLoader(
+            cross_test_ds, args.batch_size, include_index=bool(args.get_details)
+        )
+    return train_loader, val_loader, test_loader, cross_loader_val, cross_loader_test
+
+
+def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
+    """One grid point: transforms, model, loaders, Trainer, chosen mode."""
+    if args.features != "none" and args.model != "lcnn":
+        raise NotImplementedError(
+            f"LFCC features are currently not implemented for {args.model}."
+        )
+    loss_less = args.loss_less == "True"
+    if args.transform == "stft" and loss_less:
+        raise ValueError(
+            "Sign channel not possible for stft due to complex data type."
+        )
+
+    np.random.seed(int(args.seed or 0))
+
+    (
+        train_loader,
+        val_loader,
+        test_loader,
+        cross_loader_val,
+        cross_loader_test,
+    ) = create_data_loaders(args)
+
+    def norm_batches():
+        # the reference computes stats at batch 4000 over the train set
+        big = FrameLoader(train_loader.dataset, 4000)
+        for batch in big.epoch(0, shuffle=False):
+            keep = batch["weight"] > 0
+            yield batch["audio"][keep]
+
+    transform, mean, std = get_transforms(args, train_batches=norm_batches)
+    args.input_dim = get_input_dims(args, transform)
+    full_transform = normalized_transform(transform, mean, std)
+
+    model = get_model(
+        args,
+        args.model,
+        nclasses=int(args.nclasses or 2),
+        in_channels=2 if loss_less else 1,
+    )
+    model_name = model.get_name() if args.model == "modules" else "customModel"
+
+    base_dir = args.log_dir
+    os.makedirs(base_dir + "/models", exist_ok=True)
+    model_file = experiment_model_file(args, base_dir, model_name)
+
+    if args.tensorboard and writer is None:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(tensorboard_dir(args, base_dir, model_name))
+
+    trainer = Trainer(
+        model=model,
+        transform=full_transform,
+        args=args,
+        snapshot_path=model_file,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        test_loader=test_loader,
+        cross_loader_val=cross_loader_val,
+        cross_loader_test=cross_loader_test,
+        writer=writer,
+        mesh=mesh,
+        label_names=test_loader.dataset.label_names,
+    )
+
+    if args.only_testing:
+        trainer.load_snapshot()
+        trainer.test_results = trainer.testing(only_unknown=True)
+    elif args.only_ig:
+        from ..analysis.integrated_gradients import run_integrated_gradients
+
+        trainer.load_snapshot()
+        path = f"{args.transform}_{args.sample_rate}_{args.seconds}"
+        path += (
+            f"_{args.seed}_{args.only_use[-1]}_{args.wavelet}_{args.power}"
+            f"_{str(loss_less)}"
+        )
+        run_integrated_gradients(trainer, path)
+    else:
+        trainer.train(args.epochs)
+    return trainer
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Train an audio classifier")
+    parser = add_default_parser_args(parser)
+    parsed = parser.parse_args(argv)
+    args = default_config()
+    args.update({k: v for k, v in vars(parsed).items()})
+
+    base_dir = args.log_dir
+    for sub in ("models", "tensorboard", "norms"):
+        os.makedirs(f"{base_dir}/{sub}", exist_ok=True)
+
+    griderator = None
+    num_exp = 1
+    if args.enable_gs:
+        print("--------------- Starting grid search -----------------")
+        if not args.config:
+            raise RuntimeError("Config file must be provided.")
+        config = load_grid_config(args.config)
+        griderator = build_new_grid(
+            config, random_seeds=args.random_seeds, seeds=args.init_seeds
+        )
+        num_exp = griderator.get_len()
+
+    mesh = get_mesh()
+    exp_results: Dict[Any, list] = {}
+    model_file = "defaultmodel"
+    for _exp in range(num_exp):
+        if griderator is not None:
+            print("---------------------------------------------------------")
+            print(
+                "starting new experiments with "
+                f"{griderator.grid_values[griderator.current]}"
+            )
+            print("---------------------------------------------------------")
+            args, _ = griderator.update_step(args)
+        trainer = run_experiment(args, mesh=mesh)
+        model_file = trainer.snapshot_path[: -len(".pt")]
+        exp_results.setdefault(args.seed, []).append(trainer.test_results)
+
+        if args.get_details and trainer.current_true_indices:
+            known = trainer.current_true_indices.get("test known", np.zeros(0))
+            unknown = trainer.current_true_indices.get("test unknown", np.zeros(0))
+            np.save(
+                f"{args.log_dir}/true_ind_{model_file.split('/')[-1]}_{args.seed}.npy",
+                {
+                    "known": np.asarray(known),
+                    "unknown": np.asarray(unknown),
+                    "dataset": trainer.cross_loader_test.dataset.audio_data,
+                },
+            )
+
+    print_results(args, exp_results, griderator, model_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""End-to-end smoke test: synthetic corpus -> index -> train -> eval -> resume.
+
+The reference has no end-to-end training test (SURVEY.md §4 gap); this one
+builds a tiny WaveFake-style directory layout (``A_real`` / ``B_fake``
+prefix-labeled dirs, cf. reference tests/new_data), runs the full pipeline —
+native wav decode, frame index with the reference cache format, WPT
+transform, normalization, DCNN training over the virtual 8-device mesh,
+EER/accuracy evaluation, snapshot save — and resumes from the snapshot.
+"""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.data.dataset import get_custom_dataset
+from audiodeepfake_detection_tpu.data.loader import FrameLoader
+from audiodeepfake_detection_tpu.utils.config import default_config
+
+
+def _write_wav(path, samples, sr=22050):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        pcm = np.clip(samples * 32767, -32768, 32767).astype("<i2")
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake")
+    rng = np.random.RandomState(0)
+    sr = 22050
+    for dirname, kind in (("A_real", "tone"), ("B_fbmelgan", "noise")):
+        d = root / dirname
+        d.mkdir()
+        for i in range(4):
+            t = np.arange(4 * sr) / sr
+            if kind == "tone":
+                x = 0.5 * np.sin(2 * np.pi * (300 + 50 * i) * t)
+            else:
+                x = 0.3 * rng.randn(4 * sr)
+            _write_wav(d / f"clip{i}.wav", x.astype(np.float32), sr)
+    return root
+
+
+@pytest.fixture(scope="module")
+def args(corpus, tmp_path_factory):
+    log_dir = str(tmp_path_factory.mktemp("log"))
+    a = default_config()
+    a.update(
+        data_path=str(corpus),
+        save_path=str(tmp_path_factory.mktemp("meta")),
+        data_prefix=str(corpus) + "/fake_22050_22050_0.7_fbmelgan",
+        log_dir=log_dir,
+        transform="packets",
+        wavelet="haar",
+        num_of_scales=256,
+        log_scale=True,
+        power=2.0,
+        sample_rate=22050,
+        seconds=1,
+        batch_size=8,
+        epochs=1,
+        learning_rate=4e-4,
+        weight_decay=1e-3,
+        model="modules",
+        module="DCNN",
+        kernel1=3,
+        ochannels1=8,
+        ochannels2=8,
+        ochannels3=12,
+        ochannels4=16,
+        ochannels5=4,
+        flattend_size=320,
+        time_dim_add=1,
+        validation_interval=1,
+        ckpt_every=1,
+        calc_normalization=True,
+        only_use=["real", "fbmelgan"],
+        limit_train=(100, 100, 100),
+        cross_data_path=None,
+        get_details=False,
+        seed=0,
+    )
+    os.makedirs(log_dir + "/models", exist_ok=True)
+    os.makedirs(log_dir + "/norms", exist_ok=True)
+    return a
+
+
+class TestDatasetIndex:
+    def test_labels_and_splits(self, corpus, args):
+        ds = get_custom_dataset(
+            data_path=str(corpus),
+            ds_type="train",
+            only_use=["real", "fbmelgan"],
+            save_path=args.save_path,
+            limit=100,
+            resample_rate=22050,
+            seconds=1,
+        )
+        # 4 files x 4 frames = 16 per label; train split = int(0.7*16) = 11
+        assert len(ds) == 22
+        labels = {int(r[3]) for r in ds.audio_data}
+        assert labels == {0, 1}
+        assert ds.label_names == {0: "real", 1: "fbmelgan"}
+        # cache file in the reference's naming scheme
+        assert os.path.exists(
+            os.path.join(args.save_path, "dataset_real-fbmelgan_meta_1sec_train.npy")
+        )
+
+    def test_loader_batch_shapes(self, corpus, args):
+        ds = get_custom_dataset(
+            data_path=str(corpus),
+            ds_type="train",
+            only_use=["real", "fbmelgan"],
+            save_path=args.save_path,
+            limit=100,
+            resample_rate=22050,
+            seconds=1,
+        )
+        loader = FrameLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 5  # 22 // 4
+        b = batches[0]
+        assert b["audio"].shape == (4, 1, 22050)
+        assert b["label"].shape == (4,)
+        assert np.abs(b["audio"]).max() > 0
+
+
+class TestEndToEnd:
+    def test_train_eval_snapshot_resume(self, args):
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        trainer = run_experiment(args)
+        assert len(trainer.loss_list) == 2  # one epoch: 22 frames // batch 8
+        acc, eer = trainer.test_results[0], trainer.test_results[1]
+        assert 0.0 <= acc <= 1.0 and 0.0 <= eer <= 1.0
+        assert os.path.exists(trainer.snapshot_path)
+        assert os.path.exists(trainer.snapshot_path + ".state.pkl")
+
+        # normalization stats were cached in the reference's pickle scheme
+        norm_files = os.listdir(args.log_dir + "/norms")
+        assert any(f.endswith("_mean_std.pkl") for f in norm_files)
+
+        # reload: only_testing mode consumes the snapshot
+        args2 = args.copy()
+        args2.only_testing = True
+        trainer2 = run_experiment(args2)
+        assert trainer2.epochs_run == 0  # saved at epoch 0
+        assert len(trainer2.test_results) == 4

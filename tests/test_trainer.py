@@ -1,0 +1,82 @@
+"""Metric-aggregation tests, mirroring the reference's simulated-2-rank style
+(reference: tests/test_trainer.py — hand-built gathered dicts standing in for
+``all_gather_object`` results)."""
+
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.train.metrics import (
+    calculate_acc_dict,
+    calculate_acc_label,
+    calculate_eer,
+    dense_counts_to_dicts,
+)
+
+
+class TestAccuracyCalculation:
+    def test_key_error(self):
+        count_dict_gathered = [{1: 1}, {2: 1}]
+        ok_dict_gathered = [{1: [False], 2: []}]
+        with pytest.raises(KeyError):
+            calculate_acc_label(count_dict_gathered, ok_dict_gathered, key=2)
+
+    def test_result_type(self):
+        assert isinstance(
+            calculate_acc_label([{1: 1}], [{1: [], 2: []}], key=1), float
+        )
+        assert isinstance(
+            calculate_acc_label([{1: 1}], [{1: [True], 2: []}], key=1), float
+        )
+
+    def test_two_rank_accuracy(self):
+        count = [{1: 3, 3: 2, 2: 1, 0: 1}, {1: 3, 3: 1, 2: 1, 0: 2}]
+        ok = [
+            {1: [True, False, False], 3: [True, True], 2: [True], 0: [False]},
+            {1: [True, True, False], 3: [True], 2: [True], 0: [False, False]},
+        ]
+        assert calculate_acc_label(count, ok, key=1) == pytest.approx(3 / 6)
+        assert calculate_acc_label(count, ok, key=0) == pytest.approx(0.0)
+
+    def test_acc_dict(self):
+        count = [{1: 3, 3: 2, 2: 1, 0: 1}, {1: 3, 3: 1, 2: 1, 0: 2}]
+        ok = [
+            {1: [True, False, False], 3: [True, True], 2: [True], 0: [False]},
+            {1: [True, True, False], 3: [False], 2: [True], 0: [False, False]},
+        ]
+        names = {0: "Zero", 1: "First", 2: "Second", 3: "Third"}
+        out = calculate_acc_dict(names, [0, 1, 2, 3], ok, count)
+        assert out == [
+            ("Zero", 0.0),
+            ("First", 0.5),
+            ("Second", 1.0),
+            ("Third", pytest.approx(2 / 3)),
+        ]
+
+    def test_dense_counts_roundtrip(self):
+        ok = np.array([2, 0, 3])
+        tot = np.array([4, 0, 3])
+        ok_d, cnt_d = dense_counts_to_dicts(ok, tot)
+        assert cnt_d == {0: 4, 2: 3}
+        assert calculate_acc_label([cnt_d], [ok_d], 0) == pytest.approx(0.5)
+        assert calculate_acc_label([cnt_d], [ok_d], 2) == pytest.approx(1.0)
+
+
+class TestEER:
+    def test_perfect_classifier(self):
+        y = np.array([0, 0, 1, 1])
+        s = np.array([0.1, 0.2, 0.8, 0.9])
+        assert calculate_eer(y, s) == pytest.approx(0.0, abs=1e-9)
+
+    def test_random_classifier_is_half(self):
+        rng = np.random.RandomState(0)
+        y = rng.randint(0, 2, 2000)
+        s = rng.rand(2000)
+        assert calculate_eer(y, s) == pytest.approx(0.5, abs=0.05)
+
+    def test_argmax_decisions(self):
+        # the reference feeds hard argmax decisions; EER then equals the
+        # balanced error at that operating point
+        y = np.array([0] * 50 + [1] * 50)
+        pred = np.array([0] * 40 + [1] * 10 + [1] * 45 + [0] * 5)
+        eer = calculate_eer(y, pred)
+        assert 0.0 < eer < 0.5

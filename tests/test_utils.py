@@ -1,0 +1,129 @@
+"""Config / grid / naming / augmentation tests (cf. reference tests/test_utils.py)."""
+
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.utils import (
+    DotDict,
+    Griderator,
+    build_new_grid,
+    default_config,
+    experiment_model_file,
+)
+
+
+class TestDotDict:
+    def test_attribute_access(self):
+        d = DotDict(a=1)
+        assert d.a == 1
+        d.b = 2
+        assert d["b"] == 2
+        assert d.missing is None
+        del d.b
+        assert d.b is None
+
+
+class TestGriderator:
+    def test_type_error(self):
+        with pytest.raises(TypeError):
+            Griderator([1, 2, 3])
+
+    def test_length_includes_seed_axis(self):
+        grid = Griderator({"a": [1, 2], "b": [3, 4, 5]}, init_seeds=[0, 1])
+        assert grid.get_len() == 2 * 2 * 3
+        assert list(grid.get_keys()) == ["seed", "a", "b"]
+
+    def test_update_step_applies_then_advances(self):
+        grid = Griderator({"a": [1, 2]}, init_seeds=[7])
+        args = DotDict()
+        args, nxt = grid.update_step(args)
+        assert args.seed == 7 and args.a == 1
+        assert nxt == (7, 2)
+        args, nxt = grid.update_step(args)
+        assert args.a == 2
+        assert nxt is StopIteration
+
+    def test_build_new_grid_seed_handling(self):
+        grid = build_new_grid({"x": [0]}, seeds=["3", "4"])
+        assert grid.init_config["seed"] == [3, 4]
+        grid = build_new_grid({"x": [0]})
+        assert grid.init_config["seed"] == [0, 1, 2, 3, 4]
+        grid = build_new_grid({"x": [0]}, random_seeds=True)
+        assert len(grid.init_config["seed"]) == 3
+
+    def test_iteration_covers_grid(self):
+        grid = Griderator({"a": [1, 2, 3]}, init_seeds=[0, 1])
+        args = DotDict()
+        seen = []
+        for _ in range(grid.get_len()):
+            args, _ = grid.update_step(args)
+            seen.append((args.seed, args.a))
+        assert seen == [(0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)]
+
+
+class TestNaming:
+    def test_model_file_matches_bundled_checkpoint_scheme(self):
+        args = default_config()
+        args.update(
+            transform="stft",
+            features="none",
+            hop_length=220,
+            sample_rate=22050,
+            window_size=22050,
+            num_of_scales=256,
+            f_min=1.0,
+            f_max=11025.0,
+            learning_rate=0.0004,
+            weight_decay=0.001,
+            batch_size=128,
+            nclasses=2,
+            epochs=10,
+            loss_less="False",
+            aug_contrast=False,
+            aug_noise=False,
+            power=2.0,
+            only_use=["ljspeech", "fbmelgan"],
+            seconds=1,
+            seed=0,
+            data_prefix="./data/model_22050_22050_0.7_fbmelgan",
+        )
+        name = experiment_model_file(args, ".", "DCNN")
+        assert name.split("/")[-1] == (
+            "model_stft_none_220_22050_22050_256_1-11025_0.7_0.0004_0.001_"
+            "128_2_10e_DCNN_signsFalse_augcFalse_augnFalse_power2.0_"
+            "fbmelgan_1secs_0"
+        )
+
+
+class TestAugmentations:
+    def test_contrast_preserves_shape(self):
+        import jax
+        from audiodeepfake_detection_tpu.ops.audio import augment
+
+        x = np.random.RandomState(0).randn(3, 1, 100).astype(np.float32)
+        out = augment(jax.random.key(0), x, use_contrast=True)
+        assert out.shape == x.shape
+
+    def test_add_noise_snr(self):
+        from audiodeepfake_detection_tpu.ops.audio import add_noise
+
+        rng = np.random.RandomState(0)
+        sig = rng.randn(2, 1000).astype(np.float32)
+        noise = rng.randn(2, 1000).astype(np.float32)
+        out = np.asarray(add_noise(sig, noise, np.full((2,), 20.0)))
+        resid = out - sig
+        snr = 10 * np.log10((sig**2).sum(-1) / (resid**2).sum(-1))
+        np.testing.assert_allclose(snr, 20.0, atol=1e-3)
+
+    def test_resample_matches_decimation_of_sine(self):
+        from audiodeepfake_detection_tpu.ops.audio import resample
+
+        sr, target = 44100, 22050
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        y = resample(x, sr, target)
+        assert y.shape == (22050,)
+        t2 = np.arange(target) / target
+        want = np.sin(2 * np.pi * 440.0 * t2)
+        # interior matches the ideal band-limited result closely
+        np.testing.assert_allclose(y[100:-100], want[100:-100], atol=5e-3)
