@@ -1,0 +1,106 @@
+"""GAN "fingerprint" extraction: mean WPT / rFFT spectra per generator.
+
+Parity target: reference scripts/freq_visual/fingerprints.py —
+per-generator mean absolute level-14 Haar wavelet-packet spectra over full
+clips (:105-126) and mean absolute rFFT spectra including an audible
+reconstruction of the fingerprint (:38-86), plus difference plots vs the
+real corpus.
+
+The deep (level-14) WPT over full clips is the long-sequence workload of
+this domain; ``wpt_fingerprint`` runs the same mesh-sharded cascade as
+training (time is embarrassingly parallel within a level; for multi-chip
+sharding of very long clips see ``parallel/sequence.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.wavio import wav_read
+from ..ops.wpt import wpt_analysis
+
+
+def mean_wpt_spectrum(
+    clips: Sequence[np.ndarray],
+    wavelet: str = "haar",
+    level: int = 14,
+) -> np.ndarray:
+    """Mean |WPT| spectrum over clips: mean over time and clips -> [2**level]."""
+    import jax.numpy as jnp
+
+    acc: Optional[np.ndarray] = None
+    count = 0
+    for clip in clips:
+        t = (len(clip) >> level) << level
+        if t == 0:
+            continue
+        wp = wpt_analysis(jnp.asarray(clip[None, :t], jnp.float32), wavelet, level)
+        spec = np.abs(np.asarray(wp[0])).mean(-1)
+        acc = spec if acc is None else acc + spec
+        count += 1
+    assert acc is not None, "no clips long enough for the requested level"
+    return acc / count
+
+
+def mean_rfft_spectrum(clips: Sequence[np.ndarray], n: int = 2**14) -> np.ndarray:
+    """Mean |rFFT| over fixed-length windows of the clips -> [n//2 + 1]."""
+    acc = np.zeros(n // 2 + 1)
+    count = 0
+    for clip in clips:
+        for start in range(0, len(clip) - n + 1, n):
+            acc += np.abs(np.fft.rfft(clip[start : start + n]))
+            count += 1
+    assert count > 0
+    return acc / count
+
+
+def fingerprint_audio(spectrum: np.ndarray, n: int = 2**14) -> np.ndarray:
+    """Reconstruct an audible waveform from an rFFT fingerprint
+    (reference fingerprints.py:70-86 renders the fingerprint to wav)."""
+    return np.fft.irfft(spectrum, n=n).astype(np.float32)
+
+
+def load_clips(
+    directory: str, max_files: int = 128, file_type: str = "wav"
+) -> List[np.ndarray]:
+    files = sorted(
+        f for f in os.listdir(directory) if f.endswith("." + file_type)
+    )[:max_files]
+    clips = []
+    for f in files:
+        audio, _ = wav_read(os.path.join(directory, f))
+        clips.append(audio)
+    return clips
+
+
+def generator_fingerprints(
+    data_path: str,
+    generators: Sequence[str],
+    real_name: str = "real",
+    wavelet: str = "haar",
+    level: int = 14,
+    max_files: int = 128,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Per-generator mean spectra and differences against the real corpus."""
+    dirs = {d.split("_")[-1]: d for d in os.listdir(data_path)}
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    real_clips = load_clips(os.path.join(data_path, dirs[real_name]), max_files)
+    real_wpt = mean_wpt_spectrum(real_clips, wavelet, level)
+    real_fft = mean_rfft_spectrum(real_clips)
+    out[real_name] = {"wpt": real_wpt, "rfft": real_fft}
+    for gen in generators:
+        if gen == real_name:
+            continue
+        clips = load_clips(os.path.join(data_path, dirs[gen]), max_files)
+        wpt = mean_wpt_spectrum(clips, wavelet, level)
+        fft = mean_rfft_spectrum(clips)
+        out[gen] = {
+            "wpt": wpt,
+            "rfft": fft,
+            "wpt_diff": wpt - real_wpt,
+            "rfft_diff": fft - real_fft,
+        }
+    return out

@@ -1,0 +1,207 @@
+"""Audio Spectrogram Transformer (AST) in flax.
+
+Parity target: the reference's timm-0.4.5-based AST fork
+(reference: src/audiofakedetect/models.py:462-707): a DeiT-distilled ViT
+backbone whose patch embedding is re-projected to 1 input channel with
+stride (fstride, tstride) = (10, 10) over 16x16 patches, plus positional
+embedding cut/interpolation surgery for (256, 101) spectrogram inputs; the
+prediction is the mean of the class and distillation tokens through a
+LayerNorm+Linear head.
+
+The backbone here is a from-scratch flax ViT (MXU-friendly fused qkv,
+bfloat16-capable); timm DeiT weights can be imported from a ``.pt`` state
+dict via :func:`import_timm_deit` which performs the same channel-sum and
+pos-embed surgery as the reference (models.py:585-651).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SIZES = {
+    "tiny224": dict(embed_dim=192, depth=12, num_heads=3),
+    "small224": dict(embed_dim=384, depth=12, num_heads=6),
+    "base224": dict(embed_dim=768, depth=12, num_heads=12),
+    "base384": dict(embed_dim=768, depth=12, num_heads=12),
+}
+
+
+def ast_patch_grid(
+    fstride: int, tstride: int, input_fdim: int, input_tdim: int, patch: int = 16
+) -> tuple[int, int]:
+    """Number of patches along (freq, time) (reference get_shape, models.py:665-677)."""
+    f_dim = (input_fdim - patch) // fstride + 1
+    t_dim = (input_tdim - patch) // tstride + 1
+    return f_dim, t_dim
+
+
+class _Block(nn.Module):
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+        b, n, d = h.shape
+        qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(h)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, d // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.DEFAULT
+        ) / math.sqrt(d // self.num_heads)
+        attn = jax.nn.softmax(attn, axis=-1)
+        h = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+        h = nn.Dense(d, name="proj", dtype=self.dtype)(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        h = nn.Dense(int(d * self.mlp_ratio), name="fc1", dtype=self.dtype)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(d, name="fc2", dtype=self.dtype)(h)
+        return x + h
+
+
+class ASTModel(nn.Module):
+    """AST: patch-embed spectrogram + DeiT encoder + dual-token head."""
+
+    label_dim: int = 2
+    fstride: int = 10
+    tstride: int = 10
+    input_fdim: int = 256
+    input_tdim: int = 101
+    model_size: str = "base384"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = _SIZES[self.model_size]
+        d = cfg["embed_dim"]
+        f_dim, t_dim = ast_patch_grid(
+            self.fstride, self.tstride, self.input_fdim, self.input_tdim
+        )
+        num_patches = f_dim * t_dim
+        b = x.shape[0]
+
+        # [B, 1, F, T] -> NHWC, conv patch embed with overlap stride
+        h = jnp.transpose(x, (0, 2, 3, 1))
+        h = nn.Conv(
+            d,
+            kernel_size=(16, 16),
+            strides=(self.fstride, self.tstride),
+            padding="VALID",
+            name="patch_proj",
+            dtype=self.dtype,
+        )(h)
+        h = h.reshape(b, num_patches, d)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        dist = self.param("dist_token", nn.initializers.zeros, (1, 1, d))
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, num_patches + 2, d),
+        )
+        h = jnp.concatenate(
+            [jnp.tile(cls, (b, 1, 1)), jnp.tile(dist, (b, 1, 1)), h], axis=1
+        )
+        h = h + pos
+        for i in range(cfg["depth"]):
+            h = _Block(d, cfg["num_heads"], name=f"block_{i}", dtype=self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = (h[:, 0] + h[:, 1]) / 2.0
+        h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
+        return nn.Dense(self.label_dim, name="head")(h)
+
+    def get_name(self) -> str:
+        return "AST"
+
+
+def import_timm_deit(
+    state: dict,
+    fstride: int = 10,
+    tstride: int = 10,
+    input_fdim: int = 256,
+    input_tdim: int = 101,
+    model_size: str = "base384",
+) -> dict:
+    """Convert a timm DeiT-distilled state dict into AST flax params.
+
+    Performs the reference's surgery (models.py:585-651): the patch conv is
+    summed over RGB channels to 1 channel; the positional embedding grid is
+    cut from the middle or bilinearly interpolated to the (f_dim, t_dim)
+    patch grid and re-concatenated with the cls/dist token embeddings.
+    """
+    cfg = _SIZES[model_size]
+    d = cfg["embed_dim"]
+    f_dim, t_dim = ast_patch_grid(fstride, tstride, input_fdim, input_tdim)
+
+    params: dict = {}
+    # patch embedding: torch conv [D, 3, 16, 16] -> sum ch -> flax [16,16,1,D]
+    w = np.asarray(state["patch_embed.proj.weight"]).sum(1, keepdims=True)
+    params["patch_proj"] = {
+        "kernel": np.transpose(w, (2, 3, 1, 0)),
+        "bias": np.asarray(state["patch_embed.proj.bias"]),
+    }
+    params["cls_token"] = np.asarray(state["cls_token"])
+    params["dist_token"] = np.asarray(state["dist_token"])
+
+    pos = np.asarray(state["pos_embed"])  # [1, 2 + P, D]
+    orig_p = pos.shape[1] - 2
+    hw = int(math.isqrt(orig_p))
+    grid = pos[:, 2:].reshape(1, hw, hw, d)
+    # time axis: cut from the middle or interpolate
+    if t_dim <= hw:
+        start = hw // 2 - t_dim // 2
+        grid = grid[:, :, start : start + t_dim]
+    else:
+        grid = jax.image.resize(grid, (1, hw, t_dim, d), "bilinear")
+    if f_dim <= hw:
+        start = hw // 2 - f_dim // 2
+        grid = grid[:, start : start + f_dim]
+    else:
+        grid = jax.image.resize(grid, (1, f_dim, t_dim, d), "bilinear")
+    new_pos = np.concatenate(
+        [pos[:, :2], np.asarray(grid).reshape(1, f_dim * t_dim, d)], axis=1
+    )
+    params["pos_embed"] = new_pos
+
+    for i in range(cfg["depth"]):
+        pre = f"blocks.{i}."
+        params[f"block_{i}"] = {
+            "norm1": {
+                "scale": np.asarray(state[pre + "norm1.weight"]),
+                "bias": np.asarray(state[pre + "norm1.bias"]),
+            },
+            "qkv": {
+                "kernel": np.asarray(state[pre + "attn.qkv.weight"]).T,
+                "bias": np.asarray(state[pre + "attn.qkv.bias"]),
+            },
+            "proj": {
+                "kernel": np.asarray(state[pre + "attn.proj.weight"]).T,
+                "bias": np.asarray(state[pre + "attn.proj.bias"]),
+            },
+            "norm2": {
+                "scale": np.asarray(state[pre + "norm2.weight"]),
+                "bias": np.asarray(state[pre + "norm2.bias"]),
+            },
+            "fc1": {
+                "kernel": np.asarray(state[pre + "mlp.fc1.weight"]).T,
+                "bias": np.asarray(state[pre + "mlp.fc1.bias"]),
+            },
+            "fc2": {
+                "kernel": np.asarray(state[pre + "mlp.fc2.weight"]).T,
+                "bias": np.asarray(state[pre + "mlp.fc2.bias"]),
+            },
+        }
+    params["norm"] = {
+        "scale": np.asarray(state["norm.weight"]),
+        "bias": np.asarray(state["norm.bias"]),
+    }
+    return {"params": params}

@@ -1,0 +1,70 @@
+"""Mesh / sharding tests on the virtual 8-device CPU backend.
+
+The TPU analogue of the reference's simulated-2-rank metric tests: real
+XLA collectives over a real mesh, virtual chips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.ops.wpt import wpt_analysis
+from audiodeepfake_detection_tpu.parallel.mesh import (
+    get_mesh,
+    replicate,
+    shard_batch,
+)
+from audiodeepfake_detection_tpu.parallel.sequence import sp_wpt_analysis
+
+
+class TestMesh:
+    def test_mesh_and_placement(self, eight_devices):
+        mesh = get_mesh()
+        assert mesh.shape["data"] == 8
+        batch = {"audio": np.zeros((16, 4), np.float32), "label": np.zeros(16)}
+        placed = shard_batch(mesh, batch)
+        assert placed["audio"].sharding.spec[0] == "data"
+        params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
+        assert params["w"].sharding.spec == ()
+
+    def test_global_mean_over_sharded_batch_is_syncbn(self, eight_devices):
+        """jnp.mean over a sharded batch == mean over the global batch —
+        the SyncBatchNorm equivalence the training step relies on."""
+        mesh = get_mesh()
+        x = np.random.RandomState(0).randn(32, 5).astype(np.float32)
+
+        @jax.jit
+        def mean_fn(x):
+            return jnp.mean(x, axis=0)
+
+        placed = shard_batch(mesh, {"x": x})["x"]
+        np.testing.assert_allclose(
+            np.asarray(mean_fn(placed)), x.mean(0), rtol=1e-6
+        )
+
+
+class TestSequenceParallelWPT:
+    @pytest.mark.parametrize("level", [1, 3, 6])
+    def test_haar_exact_vs_single_device(self, eight_devices, level):
+        mesh = get_mesh()
+        t = 8 * 2**10  # divisible by shards * 2**level
+        x = np.random.RandomState(0).randn(2, t).astype(np.float32)
+        full = np.asarray(wpt_analysis(jnp.asarray(x), "haar", level))
+        sp = np.asarray(sp_wpt_analysis(jnp.asarray(x), "haar", level, mesh))
+        assert sp.shape == (2, 2**level, t // 2**level)
+        np.testing.assert_allclose(sp, full[..., : sp.shape[-1]], atol=1e-5)
+
+    def test_sym5_interior_matches(self, eight_devices):
+        """Longer filters: interior coefficients must match the unsharded
+        transform; only a trailing boundary region may differ."""
+        mesh = get_mesh()
+        level, t = 3, 8 * 2**9
+        x = np.random.RandomState(1).randn(1, t).astype(np.float32)
+        full = np.asarray(wpt_analysis(jnp.asarray(x), "sym5", level))
+        sp = np.asarray(sp_wpt_analysis(jnp.asarray(x), "sym5", level, mesh))
+        n = sp.shape[-1]
+        margin = 16  # trailing region affected by truncated boundary outputs
+        np.testing.assert_allclose(
+            sp[..., : n - margin], full[..., : n - margin], atol=1e-4
+        )
