@@ -109,7 +109,7 @@ def sp_wpt_analysis(
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=P(None, None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     y = fn(x)
     return y[:, np.asarray(graycode_permutation(level)), :]
