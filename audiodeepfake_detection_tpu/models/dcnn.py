@@ -46,9 +46,21 @@ class DCNN(nn.Module):
     with_dropout: bool = True
     with_dilation: bool = True
     dtype: Any = None
+    precision: Any = None  # None -> fp32-exact (HIGHEST); "default" -> bf16 MXU passes
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        prec = (
+            jax.lax.Precision.HIGHEST if self.precision is None else self.precision
+        )
+
+        def Conv2d(*a, **k):
+            from .layers import Conv2d as _C
+
+            return _C(*a, precision=prec, **k)
+
         # [B, C, F, T] -> NHWC [B, T, F, C] (reference permutes F/T then runs
         # NCHW; same arrangement, channel-last).
         x = jnp.transpose(x, (0, 3, 2, 1))

@@ -176,6 +176,7 @@ def packet_image(
     loss_less: bool = False,
     power: float = 2.0,
     block_norm_scale: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Packet time-frequency image, matching the reference ``Packets`` module.
 
@@ -196,7 +197,16 @@ def packet_image(
     """
     if audio.ndim == 3:
         audio = audio.reshape(audio.shape[0] * audio.shape[1], audio.shape[-1])
-    wp = wpt_analysis(audio, wavelet_name, level)  # [B, 2**l, n_l]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused MXU kernel (4x the XLA cascade on v5e); log applied below so
+        # block_norm / sign extraction see raw coefficients
+        from .wpt_pallas import wpt_packets_pallas
+
+        wp = wpt_packets_pallas(audio, wavelet_name, level)
+    else:
+        wp = wpt_analysis(audio, wavelet_name, level)  # [B, 2**l, n_l]
     if block_norm_scale is not None:
         wp = wp / block_norm_scale[None, :, None]
     if log_scale:
