@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""End-to-end training-step throughput benchmark (headline configuration).
+
+Measures the fully fused train step — wavelet-packet transform (fused Pallas
+kernel) + normalization + DCNN forward/backward + Adam — for the reference's
+headline configuration (packets-sym5, level 8, batch 128, 1 s frames @
+22050 Hz; cf. BASELINE.md) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the ratio over the reference-equivalent torch-CPU
+pipeline measured on this host (recorded in bench_baseline.json; re-measure
+with --measure-cpu, which takes ~2 min on the 1-core container).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+BATCH = 128
+T = 22050
+WAVELET = "sym5"
+LEVEL = 8
+STEPS = 100
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.models import DCNN
+    from audiodeepfake_detection_tpu.ops.wpt import packet_image
+    from audiodeepfake_detection_tpu.train.steps import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = DCNN(time_dim=12, precision=jax.lax.Precision.DEFAULT)
+
+    def transform(audio):
+        return packet_image(audio, WAVELET, level=LEVEL, log_scale=True, power=2.0)
+
+    tx = make_optimizer(4e-4, 1e-3)
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.randn(BATCH, 1, T).astype(np.float32),
+        "label": rng.randint(0, 2, BATCH).astype(np.int32),
+    }
+    img = transform(jnp.asarray(batch["audio"][:16]))
+    state = create_train_state(model, tx, img, seed=0)
+    step = make_train_step(model, transform, tx)
+    dbatch = jax.device_put(batch)
+    state, stats = step(state, dbatch)
+    float(stats["loss"])  # warmup + compile
+    t0 = time.time()
+    for _ in range(STEPS):
+        state, stats = step(state, dbatch)
+    float(stats["loss"])  # force completion of the chain
+    dt = time.time() - t0
+    return STEPS * BATCH / dt
+
+
+def cpu_baseline(measure: bool) -> float:
+    path = os.path.join(HERE, "bench_baseline.json")
+    if not measure and os.path.exists(path):
+        with open(path) as fh:
+            return float(json.load(fh)["frames_per_sec"])
+    # Re-measure: torch conv1d WPT cascade (math-identical to ptwt) +
+    # reference DCNN oracle + Adam on CPU.
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    import torch
+    from reference_oracle import reference_dcnn
+
+    from audiodeepfake_detection_tpu.ops.wavelets import get_wavelet
+
+    torch.manual_seed(0)
+    model = reference_dcnn("DCNN", input_dim=[BATCH, 1, 256, 95], time_dim_add=1)
+
+    def to_bn(m):
+        for name, child in m.named_children():
+            if isinstance(child, torch.nn.SyncBatchNorm):
+                setattr(
+                    m,
+                    name,
+                    torch.nn.BatchNorm2d(child.num_features, affine=child.affine),
+                )
+            else:
+                to_bn(child)
+
+    to_bn(model)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=4e-4, weight_decay=1e-3)
+    lossf = torch.nn.CrossEntropyLoss()
+    w = get_wavelet(WAVELET)
+    dec = torch.tensor(
+        np.stack([w.dec_lo[::-1], w.dec_hi[::-1]])[:, None, :], dtype=torch.float32
+    )
+    filt_len = dec.shape[-1]
+
+    def wpt(x):
+        y = x[:, None, :]
+        for _ in range(LEVEL):
+            b, nodes, n = y.shape
+            padl = (2 * filt_len - 3) // 2
+            padr = padl + (n % 2)
+            y = y.reshape(b * nodes, 1, n)
+            y = torch.nn.functional.pad(y, (padl, padr), mode="reflect")
+            y = torch.nn.functional.conv1d(y, dec, stride=2)
+            y = y.reshape(b, nodes * 2, y.shape[-1])
+        idx = torch.arange(2**LEVEL)
+        idx = idx ^ (idx >> 1)
+        return torch.log(torch.abs(y[:, idx, :]) ** 2 + 1e-12)[:, None]
+
+    audio = torch.randn(BATCH, T)
+    labels = torch.randint(0, 2, (BATCH,))
+
+    def step():
+        opt.zero_grad()
+        with torch.no_grad():
+            img = wpt(audio)
+        loss = lossf(model(img), labels)
+        loss.backward()
+        opt.step()
+
+    step()
+    n = 2
+    t0 = time.time()
+    for _ in range(n):
+        step()
+    return n * BATCH / (time.time() - t0)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--measure-cpu", action="store_true")
+    args = parser.parse_args()
+    fps = measure_tpu()
+    base = cpu_baseline(args.measure_cpu)
+    print(
+        json.dumps(
+            {
+                "metric": "fused train-step throughput (packets-sym5 + DCNN, batch 128, 1s@22050Hz)",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / base, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
