@@ -137,13 +137,9 @@ class CustomDataset:
             path_list = sorted(Path(path).glob(pattern))
             rows = []
             for file_name in path_list:
-                if filetype == "wav":
-                    sr, num_frames, _, _ = wav_info(str(file_name))
-                else:
-                    raise NotImplementedError(
-                        f"file_type={filetype!r} decode is not supported yet "
-                        "(native FLAC support is planned; convert to wav)."
-                    )
+                from .wavio import audio_info
+
+                sr, num_frames, _, _ = audio_info(str(file_name))
                 win = int(seconds * sr)
                 for i in range(num_frames // win):
                     rows.append((str(file_name), i, win, labels[path_num]))
@@ -201,11 +197,11 @@ class CustomDataset:
         return int(len(self.audio_data))
 
     def __getitem__(self, idx: int) -> dict:
-        from .wavio import wav_read
+        from .wavio import audio_read
         from ..ops.audio import resample
 
         path, frame_idx, win, label = self.audio_data[idx]
-        audio, sr = wav_read(str(path), int(frame_idx) * int(win), int(win))
+        audio, sr = audio_read(str(path), int(frame_idx) * int(win), int(win))
         if sr > self.resample_rate:
             audio = resample(audio, sr, self.resample_rate)
         elif sr < self.resample_rate:

@@ -78,7 +78,15 @@ class FrameLoader:
         )
         labels = np.asarray([int(r[3]) for r in rows], dtype=np.int32)
         max_win = int(wins.max()) if len(wins) else self.target_len
-        raw = wav_read_batch(paths, offsets, wins, max_win, self.num_threads)
+        if any(p.lower().endswith(".flac") for p in paths):
+            from .wavio import audio_read
+
+            raw = np.zeros((len(paths), max_win), dtype=np.float32)
+            for i, (p, off, w) in enumerate(zip(paths, offsets, wins)):
+                clip, _ = audio_read(p, int(off), int(w))
+                raw[i, : len(clip)] = clip
+        else:
+            raw = wav_read_batch(paths, offsets, wins, max_win, self.num_threads)
         audio = np.zeros((pad_to, self.target_len), dtype=np.float32)
         for i, win in enumerate(wins):
             src_rate = int(win / self.dataset.seconds)

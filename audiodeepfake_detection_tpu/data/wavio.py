@@ -153,6 +153,97 @@ def wav_read(
         return data.astype(np.float32), sr
 
 
+_FLAC_LIB: Optional[ctypes.CDLL] = None
+
+
+def _load_flac_lib() -> Optional[ctypes.CDLL]:
+    global _FLAC_LIB
+    if _FLAC_LIB is not None:
+        return _FLAC_LIB
+    path = os.path.abspath(os.path.join(_CSRC, "libflacdec.so"))
+    if not os.path.exists(path):
+        _load_lib()  # triggers the make build (builds both libs)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.flac_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.flac_info.restype = ctypes.c_int
+    lib.flac_read_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.flac_read_f32.restype = ctypes.c_int
+    _FLAC_LIB = lib
+    return lib
+
+
+def flac_info(path: str) -> Tuple[int, int, int, int]:
+    """(sample_rate, num_frames, channels, bits) from a FLAC STREAMINFO."""
+    lib = _load_flac_lib()
+    if lib is None:
+        raise RuntimeError("libflacdec.so unavailable (run make -C csrc)")
+    sr = ctypes.c_int()
+    nf = ctypes.c_int64()
+    ch = ctypes.c_int()
+    bits = ctypes.c_int()
+    rc = lib.flac_info(path.encode(), sr, nf, ch, bits)
+    if rc != 0:
+        raise RuntimeError(f"flac_info failed ({rc}) for {path}")
+    return sr.value, nf.value, ch.value, bits.value
+
+
+def flac_read(
+    path: str, frame_offset: int = 0, num_frames: int = -1
+) -> Tuple[np.ndarray, int]:
+    """Decode (channel-0) FLAC samples as float32; returns (audio, sr)."""
+    lib = _load_flac_lib()
+    if lib is None:
+        raise RuntimeError("libflacdec.so unavailable (run make -C csrc)")
+    if num_frames < 0:
+        _, total, _, _ = flac_info(path)
+        num_frames = total - frame_offset
+    out = np.zeros(max(num_frames, 0), dtype=np.float32)
+    fr = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.flac_read_f32(
+        path.encode(),
+        frame_offset,
+        num_frames,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fr,
+        sr,
+    )
+    if rc != 0:
+        raise RuntimeError(f"flac_read failed ({rc}) for {path}")
+    return out, sr.value
+
+
+def audio_info(path: str) -> Tuple[int, int, int, int]:
+    """Dispatch header scan by extension (wav / flac)."""
+    if path.lower().endswith(".flac"):
+        return flac_info(path)
+    return wav_info(path)
+
+
+def audio_read(
+    path: str, frame_offset: int = 0, num_frames: int = -1
+) -> Tuple[np.ndarray, int]:
+    """Dispatch sample read by extension (wav / flac)."""
+    if path.lower().endswith(".flac"):
+        return flac_read(path, frame_offset, num_frames)
+    return wav_read(path, frame_offset, num_frames)
+
+
 def wav_read_batch(
     paths: Sequence[str],
     frame_offsets: Sequence[int],
