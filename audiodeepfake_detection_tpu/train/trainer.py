@@ -266,25 +266,47 @@ class Trainer:
             )
         except Exception as exc:  # torch-free host: fall back to pickle only
             print(f"(.pt export skipped: {exc})")
-        with open(self.snapshot_path + ".state.pkl", "wb") as fh:
-            pickle.dump(
-                {
-                    "variables": variables,
-                    "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
-                    "epoch": epoch,
-                    "step": int(self.state.step),
-                },
-                fh,
-            )
+        full_state = {
+            "variables": variables,
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "epoch": epoch,
+            "step": int(self.state.step),
+        }
+        try:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(self.orbax_path)
+            with ocp.StandardCheckpointer() as ckptr:
+                if os.path.exists(path):
+                    import shutil
+
+                    shutil.rmtree(path)
+                ckptr.save(path, full_state)
+        except Exception as exc:
+            print(f"(orbax save skipped: {exc}); writing pickle fallback")
+            with open(self.snapshot_path + ".state.pkl", "wb") as fh:
+                pickle.dump(full_state, fh)
         print(f"Epoch {epoch + 1} | Training snapshot saved at {self.snapshot_path}")
 
     def load_snapshot(self, snapshot_path: Optional[str] = None) -> None:
-        """Restore from ``.state.pkl`` (full resume) or ``.pt`` (weights)."""
+        """Restore full state (orbax / pickle) or weights only (``.pt``).
+
+        The reference saves ``EPOCHS_RUN`` but never resumes from it
+        (train_classifier.py:1028); here ``train()`` continues from the
+        restored epoch.
+        """
         path = snapshot_path or self.snapshot_path
         state_pkl = path + ".state.pkl"
-        if os.path.exists(state_pkl):
+        blob = None
+        if os.path.exists(self.orbax_path):
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                blob = ckptr.restore(os.path.abspath(self.orbax_path))
+        elif os.path.exists(state_pkl):
             with open(state_pkl, "rb") as fh:
                 blob = pickle.load(fh)
+        if blob is not None:
             self.load_variables(blob["variables"])
             self.state = self.state._replace(
                 opt_state=replicate(

@@ -139,7 +139,10 @@ class TestEndToEnd:
         acc, eer = trainer.test_results[0], trainer.test_results[1]
         assert 0.0 <= acc <= 1.0 and 0.0 <= eer <= 1.0
         assert os.path.exists(trainer.snapshot_path)
-        assert os.path.exists(trainer.snapshot_path + ".state.pkl")
+        # full-state checkpoint: orbax dir (or pickle fallback)
+        assert os.path.exists(trainer.orbax_path) or os.path.exists(
+            trainer.snapshot_path + ".state.pkl"
+        )
 
         # normalization stats were cached in the reference's pickle scheme
         norm_files = os.listdir(args.log_dir + "/norms")
