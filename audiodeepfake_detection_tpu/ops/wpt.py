@@ -175,6 +175,7 @@ def packet_image(
     log_scale: bool = False,
     loss_less: bool = False,
     power: float = 2.0,
+    block_norm: bool = False,
     block_norm_scale: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -186,9 +187,13 @@ def packet_image(
 
     Args:
         audio: ``[B, T]`` or ``[B, 1, T]`` waveform batch.
-        block_norm_scale: optional per-node scale ``[2**level]`` applied as
-            ``packets / scale`` (the reference divides each node by its max
-            absolute value; precompute the scale with Welford statistics).
+        block_norm: divide each node by the max absolute value of that node
+            over the whole batch — the reference's runtime block
+            normalisation (wavelet_math.py:202-203: the divisor is the
+            current batch's per-node max, so normalisation depends on batch
+            composition; replicated as-is).
+        block_norm_scale: optional precomputed per-node scale ``[2**level]``
+            applied as ``packets / scale`` (batch-independent alternative).
 
     Returns:
         ``[B, C, 2**level, n_level]`` with C = 2 if ``loss_less`` else 1,
@@ -207,6 +212,8 @@ def packet_image(
         wp = wpt_packets_pallas(audio, wavelet_name, level)
     else:
         wp = wpt_analysis(audio, wavelet_name, level)  # [B, 2**l, n_l]
+    if block_norm:
+        wp = wp / jnp.max(jnp.abs(wp), axis=(0, 2), keepdims=True)
     if block_norm_scale is not None:
         wp = wp / block_norm_scale[None, :, None]
     if log_scale:

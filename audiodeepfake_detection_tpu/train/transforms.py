@@ -71,6 +71,7 @@ def make_transform(args: DotDict) -> TransformFn:
                 log_scale=bool(log_scale),
                 loss_less=loss_less,
                 power=args.power,
+                block_norm=bool(args.block_norm),
             )
 
     else:
@@ -136,6 +137,13 @@ def get_transforms(
     transform = make_transform(args)
     loss_less = args.loss_less == "True" or args.loss_less is True
     num_channels = 2 if loss_less else 1
+
+    if args.block_norm:
+        # block normalisation replaces dataset mean/std (reference
+        # wavelet_math.py:373-375)
+        return transform, np.zeros(num_channels, np.float32), np.ones(
+            num_channels, np.float32
+        )
 
     mean = np.asarray(args.mean, dtype=np.float32)
     std = np.asarray(args.std, dtype=np.float32)

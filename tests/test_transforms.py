@@ -186,3 +186,17 @@ class TestWaveletFilters:
             -0.0727326195,
         ]
         np.testing.assert_allclose(get_wavelet("coif1").rec_lo, expected, atol=1e-9)
+
+
+class TestBlockNorm:
+    def test_per_node_batch_max_normalization(self):
+        # reference wavelet_math.py:202-203: each node divided by the max
+        # absolute value of that node across the whole batch
+        x = np.random.RandomState(0).randn(4, 1024).astype(np.float32)
+        raw = np.asarray(wpt_analysis(jnp.asarray(x), "haar", 3))
+        out = np.asarray(
+            packet_image(jnp.asarray(x), "haar", level=3, block_norm=True)
+        )[:, 0]
+        want = raw / np.abs(raw).max(axis=(0, 2), keepdims=True)
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+        assert np.abs(out).max() <= 1.0 + 1e-5
