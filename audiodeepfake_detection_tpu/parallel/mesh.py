@@ -76,3 +76,22 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, optimizer state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
+    """Overlap host->device transfer with compute.
+
+    Wraps a host-batch iterator so the next ``depth`` batches are already
+    being transferred (``device_put`` is async) while the current step runs —
+    the double-buffering the reference gets from pinned-memory DataLoader
+    workers (train_classifier.py:131-140), without worker processes.
+    """
+    from collections import deque
+
+    queue = deque()
+    for batch in iterator:
+        queue.append(shard_batch(mesh, batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

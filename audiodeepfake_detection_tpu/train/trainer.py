@@ -126,9 +126,19 @@ class Trainer:
         print(f"+------------------- Epoch {epoch + 1} -------------------+", flush=True)
         if self.writer is not None:
             self.writer.add_scalar("epochs", epoch, self.step_total)
-        for batch in self.train_loader.epoch(epoch):
-            self.init_state(batch)
-            device_batch = shard_batch(self.mesh, batch)
+        from ..parallel.mesh import device_prefetch
+
+        batches = self.train_loader.epoch(epoch)
+        first = next(iter(batches), None)
+        if first is None:
+            return
+        self.init_state(first)
+
+        def chain():
+            yield first
+            yield from batches
+
+        for device_batch in device_prefetch(chain(), self.mesh):
             self.state, stats = self.train_step(self.state, device_batch)
             self.step_total += 1
             loss = float(stats["loss"])
