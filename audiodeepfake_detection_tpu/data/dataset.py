@@ -271,3 +271,11 @@ def get_custom_dataset(
         val_ratio=val_ratio,
         filetype=file_type,
     )
+
+
+def get_ds_label(labels):
+    """First non-zero label of a binary dataset (reference data_loader.py:19-24)."""
+    for label in labels:
+        if label != 0:
+            return label
+    return np.int64(0)

@@ -91,3 +91,38 @@ def get_model(
             return module(args)
         raise RuntimeError(f"Unknown module {name!r}.")
     raise RuntimeError(f"Model with model string '{model_name}' does not exist.")
+
+
+def compute_parameter_total(variables) -> int:
+    """Count trainable parameters (reference models.py:20-36)."""
+    import numpy as np
+
+    params = variables.get("params", variables)
+    total = 0
+    for leaf in __import__("jax").tree.leaves(params):
+        total += int(np.prod(np.shape(leaf)))
+    return total
+
+
+def check_dimensions(model, input_shape, verbose: bool = True) -> bool:
+    """Validate a model against an input shape via abstract evaluation
+    (reference models.py:1006-1018 uses torchsummary; here jax.eval_shape —
+    no FLOPs spent)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        x = jnp.zeros((1, *input_shape), jnp.float32)
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x, train=False)
+        )
+        out = jax.eval_shape(
+            lambda v: model.apply(v, x, train=False), variables
+        )
+        if verbose:
+            print(f"model ok: input {x.shape} -> output {out.shape}")
+        return True
+    except Exception as exc:
+        if verbose:
+            print(f"Error: {exc}")
+        return False
