@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..data.wavio import wav_read
+from ..data.wavio import audio_read
 from ..ops.wpt import wpt_analysis
 
 
@@ -71,7 +71,7 @@ def load_clips(
     )[:max_files]
     clips = []
     for f in files:
-        audio, _ = wav_read(os.path.join(directory, f))
+        audio, _ = audio_read(os.path.join(directory, f))
         clips.append(audio)
     return clips
 

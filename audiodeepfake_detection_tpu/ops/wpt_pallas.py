@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .wavelets import get_wavelet
-from .wpt import graycode_permutation, wpt_output_length
+from .wpt import graycode_permutation
 
 _CHUNK = 128
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import time
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax

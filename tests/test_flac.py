@@ -5,8 +5,6 @@ spec-following encoder (verbatim and fixed-order-1 Rice-coded subframes,
 mono and stereo/left-side) and round-trip the C++ decoder against it.
 """
 
-import os
-
 import numpy as np
 import pytest
 
