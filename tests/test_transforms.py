@@ -200,3 +200,39 @@ class TestBlockNorm:
         want = raw / np.abs(raw).max(axis=(0, 2), keepdims=True)
         np.testing.assert_allclose(out, want, rtol=1e-5)
         assert np.abs(out).max() <= 1.0 + 1e-5
+
+
+class TestLFCCPipeline:
+    def test_lfcc_feature_stack_shapes(self):
+        from audiodeepfake_detection_tpu.train.transforms import make_transform
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(
+            transform="stft", features="lfcc", num_of_scales=256,
+            hop_length=220, f_min=0.0, f_max=11025.0, sample_rate=22050,
+        )
+        fn = make_transform(args)
+        x = np.random.RandomState(0).randn(2, 1, 22050).astype(np.float32)
+        out = np.asarray(fn(jnp.asarray(x)))
+        assert out.shape == (2, 1, 20, 101)  # n_lfcc=20 cepstra
+
+    def test_dct_orthonormality(self):
+        from audiodeepfake_detection_tpu.ops.lfcc import create_dct
+
+        d = create_dct(20, 20, "ortho")
+        np.testing.assert_allclose(d.T @ d, np.eye(20), atol=1e-5)
+
+    def test_deltas_of_constant_are_zero(self):
+        from audiodeepfake_detection_tpu.ops.lfcc import compute_deltas
+
+        x = np.ones((2, 1, 5, 32), np.float32)
+        np.testing.assert_allclose(np.asarray(compute_deltas(jnp.asarray(x))), 0.0, atol=1e-7)
+
+    def test_deltas_of_ramp(self):
+        from audiodeepfake_detection_tpu.ops.lfcc import compute_deltas
+
+        x = np.arange(32, dtype=np.float32)[None, None, None]
+        d = np.asarray(compute_deltas(jnp.asarray(x)))
+        # interior slope of a ramp is exactly 1 (replicate-padded edges differ)
+        np.testing.assert_allclose(d[..., 4:-4], 1.0, atol=1e-5)
