@@ -59,11 +59,13 @@ class DCNN(nn.Module):
         def Conv2d(*a, **k):
             from .layers import Conv2d as _C
 
-            return _C(*a, precision=prec, **k)
+            return _C(*a, precision=prec, dtype=self.dtype, **k)
 
         # [B, C, F, T] -> NHWC [B, T, F, C] (reference permutes F/T then runs
         # NCHW; same arrangement, channel-last).
         x = jnp.transpose(x, (0, 3, 2, 1))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x = Conv2d(self.ochannels1, self.kernel1, padding=2, name="cnn_0")(x)
         x = PReLU(name="cnn_1")(x)
@@ -109,8 +111,8 @@ class DCNN(nn.Module):
         # NHWC [B, H', W', T/8] -> [B, T/8, H'*W'] in torch (H, W) order.
         b = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, x.shape[-1], -1)
-        x = nn.Dense(self.nclasses, name="fc_1")(x)
-        return jnp.mean(x, axis=1)
+        x = nn.Dense(self.nclasses, name="fc_1", dtype=self.dtype)(x)
+        return jnp.mean(x, axis=1).astype(jnp.float32)
 
     def get_name(self) -> str:
         if not self.with_dilation:

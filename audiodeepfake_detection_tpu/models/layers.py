@@ -55,8 +55,11 @@ class BatchNorm(nn.Module):
         )
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            mean2 = jnp.mean(jax.lax.square(x), axis=axes)
+            # statistics always accumulate in fp32 (bf16 activations would
+            # lose precision over millions of elements)
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            mean2 = jnp.mean(jax.lax.square(x32), axis=axes)
             var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
             if not self.is_initializing():
                 n = 1.0

@@ -177,26 +177,50 @@ class Trainer:
     # ------------------------------------------------------------ evaluation
 
     def val_test_loop(self, loader, name: str = "") -> Tuple[float, float]:
+        """Evaluate a loader; per-batch results stay on device (async) and
+        are fetched once at the end — one host round-trip per loop instead of
+        one per batch (the reference syncs per batch, and the TPU relay
+        round-trip would otherwise dominate eval time)."""
         assert self.state is not None, "state not initialized"
-        ok_label = np.zeros(32)
-        count_label = np.zeros(32)
-        ys: List[np.ndarray] = []
-        outs: List[np.ndarray] = []
-        true_indices: List[np.ndarray] = []
+        ok_label = None
+        count_label = None
+        device_results = []
+        host_batches = []
         for batch in loader.epoch(0, shuffle=False):
-            device_batch = shard_batch(self.mesh, batch)
+            device_batch = shard_batch(self.mesh, batch)  # async H2D
             res = self.eval_step(
                 self.state.params, self.state.batch_stats, device_batch
             )
-            ok_label += np.asarray(res["ok_per_label"])
-            count_label += np.asarray(res["count_per_label"])
-            weight = np.asarray(batch.get("weight", np.ones(len(batch["label"]))))
+            ok_label = res["ok_per_label"] if ok_label is None else ok_label + res["ok_per_label"]
+            count_label = (
+                res["count_per_label"]
+                if count_label is None
+                else count_label + res["count_per_label"]
+            )
+            device_results.append((res["y"], res["out_max"], res["ok_mask"]))
+            host_batches.append(
+                (
+                    np.asarray(batch.get("weight", np.ones(len(batch["label"])))),
+                    batch.get("index"),
+                )
+            )
+
+        if ok_label is None:
+            return 0.0, 0.0
+        ok_label = np.asarray(ok_label)
+        count_label = np.asarray(count_label)
+        ys: List[np.ndarray] = []
+        outs: List[np.ndarray] = []
+        true_indices: List[np.ndarray] = []
+        for (y_d, out_d, okm_d), (weight, index) in zip(
+            device_results, host_batches
+        ):
             keep = weight > 0
-            ys.append(np.asarray(res["y"])[keep])
-            outs.append(np.asarray(res["out_max"])[keep])
-            if "index" in batch:
-                ok_mask = np.asarray(res["ok_mask"])[keep]
-                true_indices.append(np.asarray(batch["index"])[keep][ok_mask])
+            ys.append(np.asarray(y_d)[keep])
+            outs.append(np.asarray(out_d)[keep])
+            if index is not None:
+                ok_mask = np.asarray(okm_d)[keep]
+                true_indices.append(np.asarray(index)[keep][ok_mask])
 
         y_arr = np.concatenate(ys) if ys else np.zeros(0)
         out_arr = np.concatenate(outs) if outs else np.zeros(0)
