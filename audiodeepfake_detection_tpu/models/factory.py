@@ -30,7 +30,17 @@ _MODULE_REGISTRY = {
 
 def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) -> DCNN:
     time_dim = int(args.input_dim[-1]) // 8 + int(args.time_dim_add or 0)
+    import jax.numpy as jnp
+
+    dtype = {"bfloat16": jnp.bfloat16}.get(str(args.dtype), None)
+    precision = "default" if dtype is not None else None
+    if precision == "default":
+        import jax
+
+        precision = jax.lax.Precision.DEFAULT
     return DCNN(
+        dtype=dtype,
+        precision=precision,
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
         ochannels2=args.ochannels2 or 64,

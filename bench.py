@@ -43,7 +43,9 @@ def measure_tpu() -> float:
         make_train_step,
     )
 
-    model = DCNN(time_dim=12, precision=jax.lax.Precision.DEFAULT)
+    model = DCNN(
+        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
+    )
 
     def transform(audio):
         return packet_image(audio, WAVELET, level=LEVEL, log_scale=True, power=2.0)
