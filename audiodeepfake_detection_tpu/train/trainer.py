@@ -137,16 +137,31 @@ class Trainer:
             yield first
             yield from batches
 
+        from .profiling import StepTimer
+
+        timer = StepTimer(self.train_loader.batch_size)
+        # per-step stats stay on device during the epoch (a host fetch per
+        # step would serialize dispatch — ~85 ms RTT through the TPU relay);
+        # they are gathered once at epoch end.
+        pending = []
         for device_batch in device_prefetch(chain(), self.mesh):
             self.state, stats = self.train_step(self.state, device_batch)
             self.step_total += 1
+            timer.step()
+            pending.append((self.step_total, stats))
+        for step_no, stats in pending:
             loss = float(stats["loss"])
             acc = float(stats["acc"])
-            self.loss_list.append([self.step_total, epoch, loss])
-            self.accuracy_list.append([self.step_total, epoch, acc])
+            self.loss_list.append([step_no, epoch, loss])
+            self.accuracy_list.append([step_no, epoch, acc])
             if self.writer is not None:
-                self.writer.add_scalar("loss/train", loss, self.step_total)
-                self.writer.add_scalar("accuracy/train", acc, self.step_total)
+                self.writer.add_scalar("loss/train", loss, step_no)
+                self.writer.add_scalar("accuracy/train", acc, step_no)
+        print(f"epoch {epoch + 1}: {timer.summary()}", flush=True)
+        if self.writer is not None:
+            self.writer.add_scalar(
+                "perf/train_frames_per_sec", timer.frames_per_sec, self.step_total
+            )
 
     def train(self, max_epochs: int) -> None:
         """Epoch loop with the reference's ckpt/validation cadence
