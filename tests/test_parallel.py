@@ -68,3 +68,16 @@ class TestSequenceParallelWPT:
         np.testing.assert_allclose(
             sp[..., : n - margin], full[..., : n - margin], atol=1e-4
         )
+
+
+class TestDevicePrefetch:
+    def test_order_and_completeness(self, eight_devices):
+        from audiodeepfake_detection_tpu.parallel.mesh import device_prefetch
+
+        mesh = get_mesh()
+        batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(7)]
+        out = list(device_prefetch(iter(batches), mesh, depth=2))
+        assert len(out) == 7
+        for i, b in enumerate(out):
+            assert float(np.asarray(b["x"])[0, 0]) == i
+            assert b["x"].sharding.spec[0] == "data"
