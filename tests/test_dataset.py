@@ -1,0 +1,118 @@
+"""Dataset-factory and input-dim-probe tests.
+
+Counterpart of the reference's mock-based tests (reference:
+tests/test_dataset.py:19-87): ``get_custom_dataset`` must forward the right
+constructor kwargs — verified with ``unittest.mock`` so no file scan runs —
+and ``get_input_dims`` must produce the transform's batched shape.
+"""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import audiodeepfake_detection_tpu.data.dataset as dataset_mod
+from audiodeepfake_detection_tpu.utils.config import default_config
+
+
+class TestGetCustomDataset:
+    def _fake_dirs(self, tmp_path):
+        for d in ("A_ljspeech", "B_fbmelgan", "C_melgan"):
+            (tmp_path / d).mkdir()
+        return str(tmp_path)
+
+    def test_kwargs_forwarding(self, tmp_path):
+        data_path = self._fake_dirs(tmp_path)
+        with mock.patch.object(
+            dataset_mod, "CustomDataset", autospec=True
+        ) as ds:
+            dataset_mod.get_custom_dataset(
+                data_path=data_path,
+                ds_type="val",
+                only_use=["ljspeech", "fbmelgan"],
+                save_path="/tmp/save",
+                limit=123,
+                seconds=2,
+                resample_rate=16000,
+                asvspoof_name="LA_D",
+                train_ratio=0.5,
+                val_ratio=0.25,
+                file_type="flac",
+            )
+            kwargs = ds.call_args.kwargs
+            assert kwargs["ds_type"] == "val"
+            assert kwargs["limit"] == 123
+            assert kwargs["seconds"] == 2
+            assert kwargs["resample_rate"] == 16000
+            assert kwargs["asvspoof_name"] == "LA_D"
+            assert kwargs["train_ratio"] == 0.5
+            assert kwargs["val_ratio"] == 0.25
+            assert kwargs["filetype"] == "flac"
+            # only_use filters the third dir out; labels from prefix letters
+            assert kwargs["labels"] == [0, 1]
+            assert [p.split("/")[-1] for p in kwargs["paths"]] == [
+                "A_ljspeech",
+                "B_fbmelgan",
+            ]
+
+    def test_label_collision_bump(self, tmp_path):
+        for d in ("A_real", "A_fake2", "B_fake"):
+            (tmp_path / d).mkdir()
+        with mock.patch.object(
+            dataset_mod, "CustomDataset", autospec=True
+        ) as ds:
+            dataset_mod.get_custom_dataset(
+                data_path=str(tmp_path), ds_type="train", save_path="/tmp/s"
+            )
+            labels = ds.call_args.kwargs["labels"]
+            assert len(labels) == len(set(labels))
+            assert 0 in labels
+
+    def test_empty_dir_raises(self, tmp_path):
+        with pytest.raises(RuntimeError, match="empty"):
+            dataset_mod.get_custom_dataset(
+                data_path=str(tmp_path), ds_type="train", save_path="/tmp/s"
+            )
+
+    def test_no_real_training_data_raises(self, tmp_path):
+        (tmp_path / "B_fake").mkdir()
+        with pytest.raises(RuntimeError, match="No real training data"):
+            dataset_mod.get_custom_dataset(
+                data_path=str(tmp_path), ds_type="train", save_path="/tmp/s"
+            )
+
+
+class TestGetInputDims:
+    def test_stft_shape(self):
+        from audiodeepfake_detection_tpu.train.experiment import get_input_dims
+        from audiodeepfake_detection_tpu.train.transforms import make_transform
+
+        args = default_config()
+        args.update(
+            transform="stft",
+            num_of_scales=256,
+            hop_length=220,
+            batch_size=128,
+            sample_rate=22050,
+            seconds=1,
+            log_scale=True,
+        )
+        dims = get_input_dims(args, make_transform(args))
+        assert dims == [128, 1, 256, 101]
+
+    def test_packets_shape(self):
+        from audiodeepfake_detection_tpu.train.experiment import get_input_dims
+        from audiodeepfake_detection_tpu.train.transforms import make_transform
+
+        args = default_config()
+        args.update(
+            transform="packets",
+            wavelet="sym5",
+            num_of_scales=256,
+            batch_size=64,
+            sample_rate=22050,
+            seconds=1,
+            log_scale=True,
+        )
+        dims = get_input_dims(args, make_transform(args))
+        assert dims == [64, 1, 256, 95]
