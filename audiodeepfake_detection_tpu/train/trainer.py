@@ -212,7 +212,9 @@ class Trainer:
                 if count_label is None
                 else count_label + res["count_per_label"]
             )
-            device_results.append((res["y"], res["out_max"], res["ok_mask"]))
+            device_results.append(
+                (res["y"], res["out_max"], res["ok_mask"], res["scores"])
+            )
             host_batches.append(
                 (
                     np.asarray(batch.get("weight", np.ones(len(batch["label"])))),
@@ -226,19 +228,22 @@ class Trainer:
         count_label = np.asarray(count_label)
         ys: List[np.ndarray] = []
         outs: List[np.ndarray] = []
+        scores: List[np.ndarray] = []
         true_indices: List[np.ndarray] = []
-        for (y_d, out_d, okm_d), (weight, index) in zip(
+        for (y_d, out_d, okm_d, sc_d), (weight, index) in zip(
             device_results, host_batches
         ):
             keep = weight > 0
             ys.append(np.asarray(y_d)[keep])
             outs.append(np.asarray(out_d)[keep])
+            scores.append(np.asarray(sc_d)[keep])
             if index is not None:
                 ok_mask = np.asarray(okm_d)[keep]
                 true_indices.append(np.asarray(index)[keep][ok_mask])
 
         y_arr = np.concatenate(ys) if ys else np.zeros(0)
         out_arr = np.concatenate(outs) if outs else np.zeros(0)
+        score_arr = np.concatenate(scores) if scores else np.zeros(0)
         ok_dict, count_dict = dense_counts_to_dicts(ok_label, count_label)
         acc_list = [
             (
@@ -248,9 +253,17 @@ class Trainer:
             for k in sorted(count_dict)
         ]
         print(f"{name} - ", acc_list)
-        eer = calculate_eer(y_arr, out_arr)
+        eer = calculate_eer(y_arr, out_arr)  # argmax decisions: parity with
+        # the reference (train_classifier.py:479-481)
+        try:
+            score_eer = calculate_eer(y_arr, score_arr)
+        except Exception:
+            score_eer = float("nan")
         val_acc = float(ok_label.sum() / max(count_label.sum(), 1.0))
-        print(f"{name} - eer: {eer:2.4f}, Val acc: {val_acc * 100:2.2f} %")
+        print(
+            f"{name} - eer: {eer:2.4f} (score eer: {score_eer:2.4f}), "
+            f"Val acc: {val_acc * 100:2.2f} %"
+        )
         if true_indices:
             self.current_true_indices[name] = np.concatenate(true_indices)
         self.validation_list.append([name, val_acc, eer])
