@@ -27,11 +27,26 @@ class LCNN(nn.Module):
     classes: int = 2
     in_channels: int = 1
     lstm_channels: int = 256
+    dtype: Any = None
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        prec = (
+            jax.lax.Precision.HIGHEST if self.precision is None else self.precision
+        )
+
+        def Conv2d(*a, **k):
+            from .layers import Conv2d as _C
+
+            return _C(*a, precision=prec, dtype=self.dtype, **k)
+
         # [B, C, F, T] -> permute F/T (reference models.py:125) -> NHWC
         x = jnp.transpose(x, (0, 3, 2, 1))  # [B, T, F, C]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x = Conv2d(64, 5, padding=2, name="lcnn_0")(x)
         x = max_feature_map_2d(x)
@@ -72,8 +87,8 @@ class LCNN(nn.Module):
         feat = (self.lstm_channels // 16) * 32
         x = BLSTMLayer(feat, feat, name="lstm_0")(x)
         x = BLSTMLayer(feat, feat, name="lstm_1")(x)
-        x = nn.Dense(self.classes, name="fc")(x)
-        return jnp.mean(x, axis=1)
+        x = nn.Dense(self.classes, name="fc", dtype=self.dtype)(x)
+        return jnp.mean(x, axis=1).astype(jnp.float32)
 
     def get_name(self) -> str:
         return "LCNN"
