@@ -124,6 +124,40 @@ def compute_normalization(
     return np.asarray(mean), np.asarray(std)
 
 
+def compute_block_norm_stats(
+    args: DotDict,
+    batches,
+) -> dict:
+    """Per-packet-node Welford statistics over the training set.
+
+    The reference collects a Welford estimator per WPT node while computing
+    normalization (wavelet_math.py:194-200) and stores the finalized
+    ``{node: {mean, std}}`` dict (``*_mean_std_bn`` cache; the reference
+    saves it as ``.pkl`` but loads ``.pt`` — a bug we do not replicate, one
+    path is used for both).  Node keys are the Gray-code frequency indices.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.normalize import welford_finalize, welford_init, welford_update
+    from ..ops.wpt import wpt_analysis
+
+    level = int(math.log2(args.num_of_scales))
+    state = welford_init(int(args.num_of_scales))
+    for batch in batches:
+        audio = jnp.asarray(batch)
+        if audio.ndim == 3:
+            audio = audio.reshape(-1, audio.shape[-1])
+        wp = wpt_analysis(audio, args.wavelet, level)  # [B, nodes, n]
+        state = welford_update(state, jnp.transpose(wp, (0, 2, 1)))
+    mean, std = welford_finalize(state)
+    mean = np.asarray(mean)
+    std = np.asarray(std)
+    return {
+        int(node): {"mean": float(mean[node]), "std": float(std[node])}
+        for node in range(int(args.num_of_scales))
+    }
+
+
 def get_transforms(
     args: DotDict,
     train_batches: Optional[Callable[[], object]] = None,
@@ -140,7 +174,19 @@ def get_transforms(
 
     if args.block_norm:
         # block normalisation replaces dataset mean/std (reference
-        # wavelet_math.py:373-375)
+        # wavelet_math.py:373-375); per-node Welford stats are cached for
+        # analysis like the reference's *_mean_std_bn file
+        if (
+            args.data_path is not None
+            and args.log_dir is not None
+            and train_batches is not None
+        ):
+            cache = norm_cache_prefix(args) + "_mean_std_bn.pkl"
+            if not os.path.exists(cache) and args.calc_normalization:
+                stats = compute_block_norm_stats(args, train_batches())
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                with open(cache, "wb") as fh:
+                    pickle.dump(stats, fh)
         return transform, np.zeros(num_channels, np.float32), np.ones(
             num_channels, np.float32
         )

@@ -236,3 +236,31 @@ class TestLFCCPipeline:
         d = np.asarray(compute_deltas(jnp.asarray(x)))
         # interior slope of a ramp is exactly 1 (replicate-padded edges differ)
         np.testing.assert_allclose(d[..., 4:-4], 1.0, atol=1e-5)
+
+
+class TestBlockNormStats:
+    def test_per_node_welford_stats(self):
+        from audiodeepfake_detection_tpu.train.transforms import (
+            compute_block_norm_stats,
+        )
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(wavelet="haar", num_of_scales=8)
+        rng = np.random.RandomState(0)
+        batches = [rng.randn(4, 1, 256).astype(np.float32) for _ in range(3)]
+        stats = compute_block_norm_stats(args, iter(batches))
+        assert set(stats) == set(range(8))
+        # cross-check node 0 against direct computation
+        all_wp = np.concatenate(
+            [
+                np.asarray(wpt_analysis(jnp.asarray(b.reshape(-1, 256)), "haar", 3))
+                for b in batches
+            ]
+        )
+        np.testing.assert_allclose(
+            stats[0]["mean"], all_wp[:, 0, :].mean(), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            stats[0]["std"], all_wp[:, 0, :].std(), rtol=1e-3
+        )
