@@ -69,14 +69,16 @@ def yin_pitch(
     pitches = np.zeros(n_frames)
     for f in range(n_frames):
         frame = clip[f * hop : f * hop + frame_length].astype(np.float64)
-        # difference function via autocorrelation (Wiener-Khinchin)
+        # difference function d(tau) = sum_{j<W} (x[j] - x[j+tau])^2
+        #                   = r1 + r2(tau) - 2 c(tau), windowed at W
         w = frame_length // 2
-        fft = np.fft.rfft(frame, 2 * frame_length)
-        acf = np.fft.irfft(fft * np.conj(fft))[: w + 1]
+        c = np.correlate(frame, frame[:w], "valid")  # c[tau], tau in [0, W]
         energy = np.cumsum(frame**2)
-        e_tau = energy[frame_length - 1] - np.concatenate(([0.0], energy[:w]))
-        d = energy[w - 1] + e_tau[: w + 1] - 2 * acf
-        d = np.maximum(d[: tau_max + 1], 0.0)
+        r1 = energy[w - 1]
+        r2 = energy[w - 1 : w - 1 + len(c)] - np.concatenate(
+            ([0.0], energy[: len(c) - 1])
+        )
+        d = np.maximum((r1 + r2 - 2 * c)[: tau_max + 1], 0.0)
         # cumulative mean normalization
         cmnd = np.ones_like(d)
         cumsum = np.cumsum(d[1:])

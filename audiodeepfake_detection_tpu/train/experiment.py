@@ -201,7 +201,10 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
 
     def norm_batches():
         # the reference computes stats at batch 4000 over the train set
-        big = FrameLoader(train_loader.dataset, 4000)
+        # (wavelet_math.py:419-426); cap at the dataset size so small sets
+        # don't process padding
+        bs = max(1, min(4000, len(train_loader.dataset)))
+        big = FrameLoader(train_loader.dataset, bs)
         for batch in big.epoch(0, shuffle=False):
             keep = batch["weight"] > 0
             yield batch["audio"][keep]
