@@ -154,3 +154,41 @@ class TestEndToEnd:
         trainer2 = run_experiment(args2)
         assert trainer2.epochs_run == 0  # saved at epoch 0
         assert len(trainer2.test_results) == 4
+
+
+class TestPredict:
+    def test_score_files(self, corpus):
+        import jax
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.predict import score_files
+
+        model = DCNN(
+            time_dim=1,
+            ochannels1=4,
+            ochannels2=4,
+            ochannels3=6,
+            ochannels4=8,
+            ochannels5=4,
+        )
+
+        def transform(audio):
+            # tiny geometry: 2048-sample frames keep the DCNN valid
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        x = np.zeros((2, 1, 2048), np.float32)
+        variables = model.init(jax.random.key(0), transform(x), train=False)
+        wavs = sorted(str(p) for p in (corpus / "A_real").glob("*.wav"))[:2]
+        scores = score_files(
+            model,
+            transform,
+            variables,
+            wavs,
+            sample_rate=22050,
+            seconds=2048 / 22050,
+            batch_size=8,
+        )
+        assert set(scores) == set(wavs)
+        for v in scores.values():
+            assert 0.0 <= v <= 1.0
