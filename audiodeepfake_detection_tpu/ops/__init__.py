@@ -1,5 +1,15 @@
 """Device-side signal-processing ops (pure JAX / Pallas)."""
 
+from .audio import add_noise, augment, contrast, resample  # noqa: F401
+from .cwt import cwt, scale2frequency  # noqa: F401
+from .lfcc import amplitude_to_db, compute_deltas, create_dct, lfcc, linear_fbanks  # noqa: F401
+from .normalize import (  # noqa: F401
+    WelfordState,
+    normalize,
+    welford_finalize,
+    welford_init,
+    welford_update,
+)
 from .stft import hann_window, spectrogram  # noqa: F401
 from .wavelets import Wavelet, get_wavelet, qmf  # noqa: F401
 from .wpt import (  # noqa: F401
@@ -9,3 +19,4 @@ from .wpt import (  # noqa: F401
     wpt_output_length,
     wpt_synthesis,
 )
+from .wpt_pallas import wpt_packets_pallas  # noqa: F401
