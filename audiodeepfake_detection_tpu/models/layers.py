@@ -121,8 +121,17 @@ class Conv2d(nn.Module):
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Torch MaxPool2d(2, 2) (floor mode) on NHWC."""
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    """Torch MaxPool2d(2, 2) (floor mode) on NHWC.
+
+    Implemented as crop-to-even + reshape + max over the window axes instead
+    of ``reduce_window``: identical values, but the gradient lowers to cheap
+    compare/selects instead of TPU ``select-and-scatter`` (which profiling
+    showed at ~2.8 ms/step in the fused train step).
+    """
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def max_feature_map_2d(x: jnp.ndarray) -> jnp.ndarray:

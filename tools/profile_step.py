@@ -12,9 +12,12 @@ import glob
 import gzip
 import json
 import os
+import sys
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_and_trace(out_dir: str, steps: int) -> None:
