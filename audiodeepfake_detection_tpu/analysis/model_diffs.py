@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import wave
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -14,7 +14,7 @@ is unmaintained and not available in this environment).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

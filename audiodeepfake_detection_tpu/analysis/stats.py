@@ -9,7 +9,7 @@ the pitch tracker is a from-scratch YIN (de Cheveigné & Kawahara 2002).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from .wavio import wav_info
 
 
 class CustomDataset:

@@ -24,7 +24,7 @@ import argparse
 import csv
 import os
 import shutil
-from typing import Optional, Sequence
+from typing import Sequence
 
 from .dataset import get_custom_dataset
 

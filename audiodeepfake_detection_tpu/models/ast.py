@@ -17,7 +17,7 @@ pos-embed surgery as the reference (models.py:585-651).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

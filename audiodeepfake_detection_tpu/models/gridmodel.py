@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import ast
 from copy import copy
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ torch's exact numerics where they differ from flax defaults:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

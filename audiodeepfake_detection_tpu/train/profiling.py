@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
 
 
 @contextlib.contextmanager
