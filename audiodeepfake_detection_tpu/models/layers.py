@@ -123,15 +123,12 @@ class Conv2d(nn.Module):
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Torch MaxPool2d(2, 2) (floor mode) on NHWC.
 
-    Implemented as crop-to-even + reshape + max over the window axes instead
-    of ``reduce_window``: identical values, but the gradient lowers to cheap
-    compare/selects instead of TPU ``select-and-scatter`` (which profiling
-    showed at ~2.8 ms/step in the fused train step).
+    ``reduce_window`` on purpose: its backward is TPU ``select-and-scatter``
+    (~2.8 ms/step in the fused train step), but the crop+reshape+max
+    alternative measured *slower* overall (22.2 vs 17.0 ms/step) because its
+    slice/reshape gradients materialize pads and break XLA fusions.
     """
-    b, h, w, c = x.shape
-    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.max(x, axis=(2, 4))
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
 def max_feature_map_2d(x: jnp.ndarray) -> jnp.ndarray:
