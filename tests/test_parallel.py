@@ -81,3 +81,44 @@ class TestDevicePrefetch:
         for i, b in enumerate(out):
             assert float(np.asarray(b["x"])[0, 0]) == i
             assert b["x"].sharding.spec[0] == "data"
+
+
+class TestTensorParallelAST:
+    def test_tp_forward_matches_replicated(self, eight_devices):
+        """Megatron-layout AST params over a (data=2, model=4) mesh produce
+        the same logits as the unsharded model; XLA inserts the TP
+        all-reduces from the shardings alone."""
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.models.ast import ASTModel
+        from audiodeepfake_detection_tpu.parallel.mesh import (
+            batch_sharding,
+            get_mesh,
+        )
+        from audiodeepfake_detection_tpu.parallel.tensor import (
+            ast_param_specs,
+            shard_ast_params,
+        )
+
+        mesh = get_mesh(axis_names=("data", "model"), shape=(2, 4))
+        model = ASTModel(model_size="tiny224", input_fdim=64, input_tdim=32)
+        x = np.random.RandomState(0).randn(4, 1, 64, 32).astype(np.float32)
+        variables = model.init(jax.random.key(0), x)
+        want = np.asarray(model.apply(variables, x))
+
+        params_tp = shard_ast_params(variables["params"], mesh)
+        # at least the qkv kernels must actually be sharded over 'model'
+        specs = ast_param_specs(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(specs)
+        assert any("model" in str(s) for _, s in flat)
+
+        x_sharded = jax.device_put(
+            jnp.asarray(x), batch_sharding(mesh, 4, axis="data")
+        )
+
+        @jax.jit
+        def fwd(params, xb):
+            return model.apply({"params": params}, xb)
+
+        got = np.asarray(fwd(params_tp, x_sharded))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
