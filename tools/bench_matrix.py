@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark matrix: several model/transform configurations on the TPU.
+
+Prints one line per configuration (ms/step, frames/s).  Used to fill
+docs/benchmarks.md; `bench.py` remains the driver's single-line benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = 128
+T = 22050
+
+
+def bench_step(model, transform, tag, steps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.train.steps import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.randn(B, 1, T).astype(np.float32),
+        "label": rng.randint(0, 2, B).astype(np.int32),
+    }
+    tx = make_optimizer(4e-4, 1e-3)
+    img = transform(jnp.asarray(batch["audio"][:16]))
+    state = create_train_state(model, tx, img, seed=0)
+    step = make_train_step(model, transform, tx)
+    dbatch = jax.device_put(batch)
+    t0 = time.time()
+    state, stats = step(state, dbatch)
+    float(stats["loss"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(steps):
+        state, stats = step(state, dbatch)
+    float(stats["loss"])
+    dt = time.time() - t0
+    print(
+        f"{tag}: {dt / steps * 1000:.2f} ms/step, {steps * B / dt:.0f} frames/s "
+        f"(compile {compile_s:.0f}s)",
+        flush=True,
+    )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.models import DCNN, LCNN
+    from audiodeepfake_detection_tpu.ops.stft import spectrogram
+    from audiodeepfake_detection_tpu.ops.wpt import packet_image
+
+    def wpt_transform(audio):
+        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
+
+    def stft_transform(audio):
+        return spectrogram(
+            audio, n_fft=511, hop_length=220, power=2.0, log_scale=True
+        )
+
+    fast = dict(precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16)
+    bench_step(DCNN(time_dim=12, **fast), wpt_transform, "packets-sym5 + DCNN bf16")
+    bench_step(DCNN(time_dim=12, **fast), stft_transform, "stft + DCNN bf16")
+    bench_step(
+        LCNN(lstm_channels=256, **fast), stft_transform, "stft + LCNN bf16"
+    )
+
+
+if __name__ == "__main__":
+    main()
