@@ -116,3 +116,52 @@ class TestGetInputDims:
         )
         dims = get_input_dims(args, make_transform(args))
         assert dims == [64, 1, 256, 95]
+
+
+class TestMultiHostLoader:
+    def test_process_sharding_partitions_data(self, tmp_path):
+        """Two host processes see disjoint, covering strided slices
+        (the DistributedSampler equivalent)."""
+        import wave
+
+        d = tmp_path / "A_real"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            pcm = (rng.randn(8 * 1000) * 8000).astype("<i2")
+            with wave.open(str(d / f"c{i}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(1000)
+                w.writeframes(pcm.tobytes())
+        from audiodeepfake_detection_tpu.data.dataset import CustomDataset
+        from audiodeepfake_detection_tpu.data.loader import FrameLoader
+
+        ds = CustomDataset(
+            paths=[str(d)],
+            labels=[0],
+            save_path=str(tmp_path),
+            ds_type="test",
+            train_ratio=0.0,
+            val_ratio=0.0,
+            resample_rate=1000,
+            seconds=1,
+        )
+        seen = []
+        for rank in (0, 1):
+            loader = FrameLoader(
+                ds,
+                batch_size=4,
+                process_index=rank,
+                process_count=2,
+                include_index=True,
+            )
+            for b in loader.epoch(0):
+                keep = b["weight"] > 0
+                seen.append(set(b["index"][keep].tolist()))
+        all_idx = set().union(*seen)
+        assert all_idx == set(range(len(ds)))
+        # ranks are disjoint
+        rank0 = set().union(*seen[: len(seen) // 2])
+        rank1 = set().union(*seen[len(seen) // 2 :])
+        assert rank0.isdisjoint(rank1)
