@@ -127,3 +127,61 @@ class TestAugmentations:
         want = np.sin(2 * np.pi * 440.0 * t2)
         # interior matches the ideal band-limited result closely
         np.testing.assert_allclose(y[100:-100], want[100:-100], atol=5e-3)
+
+
+class TestCLIParser:
+    def test_reference_flag_vocabulary(self):
+        """The CLI accepts the reference's flag names (utils.py:30-317)."""
+        import argparse
+
+        from audiodeepfake_detection_tpu.train.experiment import (
+            add_default_parser_args,
+        )
+
+        parser = add_default_parser_args(
+            argparse.ArgumentParser(description="t")
+        )
+        args = parser.parse_args(
+            [
+                "--log-dir", "/tmp/x",
+                "--batch-size", "64",
+                "--learning-rate", "0.0004",
+                "--weight-decay", "0.001",
+                "--epochs", "10",
+                "--transform", "packets",
+                "--features", "none",
+                "--num-of-scales", "256",
+                "--wavelet", "sym5",
+                "--sample-rate", "22050",
+                "--window-size", "11025",
+                "--f-min", "1000",
+                "--f-max", "11025",
+                "--hop-length", "220",
+                "--log-scale",
+                "--power", "2.0",
+                "--dropout-cnn", "0.6",
+                "--dropout-lstm", "0.2",
+                "--loss-less", "False",
+                "--aug-contrast",
+                "--aug-noise",
+                "--mean", "0",
+                "--std", "1",
+                "--init-seeds", "0", "1", "2",
+                "--seed", "0",
+                "--flattend-size", "320",
+                "--model", "modules",
+                "--nclasses", "2",
+                "--enable-gs",
+                "--tensorboard",
+                "--pbar",
+                "--validation-interval", "10",
+                "--ckpt-every", "1",
+                "--time-dim-add", "1",
+                "--ddp",
+                "--config", "/tmp/cfg.py",
+            ]
+        )
+        assert args.batch_size == 64
+        assert args.wavelet == "sym5"
+        assert args.loss_less == "False"
+        assert args.init_seeds == [0, 1, 2]
