@@ -206,3 +206,52 @@ class TestFlacDecoder:
         batch = next(iter(loader.epoch(0)))
         assert batch["audio"].shape == (2, 1, 32000)
         assert np.abs(batch["audio"]).max() > 0
+
+
+def _lpc2_subframe(w: BitWriter, samples, bits: int, rice: int = 6):
+    """Order-2 LPC subframe: predictor (c0*s[-1] + c1*s[-2]) >> shift."""
+    order, prec, shift = 2, 12, 5
+    c0, c1 = 2 << shift, -(1 << shift)  # 2*s[-1] - s[-2]
+    w.write(0, 1)
+    w.write(32 + (order - 1), 6)
+    w.write(0, 1)  # no wasted bits
+    for s in samples[:order]:
+        _signed(w, int(s), bits)
+    w.write(prec - 1, 4)
+    _signed(w, shift, 5)
+    _signed(w, c0, prec)
+    _signed(w, c1, prec)
+    w.write(0, 2)  # rice method 0
+    w.write(0, 4)  # partition order 0
+    w.write(rice, 4)
+    for i in range(order, len(samples)):
+        pred = (c0 * int(samples[i - 1]) + c1 * int(samples[i - 2])) >> shift
+        r = int(samples[i]) - pred
+        u = 2 * r if r >= 0 else -2 * r - 1
+        w.write_unary(u >> rice)
+        if rice:
+            w.write(u & ((1 << rice) - 1), rice)
+
+
+class TestFlacLPC:
+    def test_lpc_roundtrip(self, tmp_path, flac_lib):
+        from audiodeepfake_detection_tpu.data.wavio import flac_read
+
+        rng = np.random.RandomState(3)
+        # smooth signal so order-2 LPC residuals stay small
+        t = np.arange(4096)
+        pcm = (8000 * np.sin(2 * np.pi * t / 64) + rng.randn(4096) * 50).astype(
+            np.int16
+        )
+        blob = _streaminfo(16000, 1, 16, 4096)
+        w = BitWriter()
+        _frame_header(w, 4096, 0, 0)
+        _lpc2_subframe(w, pcm, 16)
+        w.align()
+        w.write(0, 16)
+        path = str(tmp_path / "lpc.flac")
+        with open(path, "wb") as fh:
+            fh.write(blob + w.bytes())
+        audio, sr = flac_read(path)
+        assert sr == 16000
+        np.testing.assert_allclose(audio, pcm / 32768.0, atol=1e-6)
