@@ -188,8 +188,8 @@ def _lstm_direction(
         return (h, c), h
 
     init = (
-        jnp.zeros((b, hidden), x.dtype),
-        jnp.zeros((b, hidden), x.dtype),
+        jnp.zeros((b, hidden), x_proj.dtype),
+        jnp.zeros((b, hidden), x_proj.dtype),
     )
     _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1))
     hs = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
