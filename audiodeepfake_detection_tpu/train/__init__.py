@@ -1,6 +1,12 @@
 """Training: steps, trainer, metrics, transforms, experiment driver."""
 
-from .metrics import calculate_acc_label, calculate_acc_dict, calculate_eer  # noqa: F401
+from .metrics import (  # noqa: F401
+    calculate_acc_dict,
+    calculate_acc_label,
+    calculate_eer,
+)
+from .predict import make_score_fn, score_files  # noqa: F401
+from .results import print_paper_tables, print_results  # noqa: F401
 from .steps import (  # noqa: F401
     TrainState,
     create_train_state,
@@ -9,4 +15,8 @@ from .steps import (  # noqa: F401
     make_train_step,
 )
 from .trainer import Trainer  # noqa: F401
-from .transforms import get_transforms, make_transform, normalized_transform  # noqa: F401
+from .transforms import (  # noqa: F401
+    get_transforms,
+    make_transform,
+    normalized_transform,
+)
