@@ -28,6 +28,35 @@ import jax.numpy as jnp
 from .layers import BatchNorm, Conv2d, Dropout, PReLU, max_pool_2x2
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters (used by the fused layer-1 path so the param
+    tree keeps the standard ``cnn_0/Conv_0/{kernel,bias}`` layout)."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return kernel, bias
+
+
+class _ConvScope(nn.Module):
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kshape, name="Conv_0")()
+
+
+class _AlphaScope(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return self.param("alpha", lambda key: jnp.asarray(0.25, "float32"))
+
+
 class DCNN(nn.Module):
     """Deep CNN with dilated convolutions (reference models.py:240-317)."""
 
@@ -47,6 +76,10 @@ class DCNN(nn.Module):
     with_dilation: bool = True
     dtype: Any = None
     precision: Any = None  # None -> fp32-exact (HIGHEST); "default" -> bf16 MXU passes
+    # Fuse conv1+PReLU+pool into one Pallas kernel (ops/fused_conv1.py).
+    # Valid only when the layer input needs no gradient (it never does: the
+    # transform in front is stop-gradient) and in_channels == 1, kernel1 == 3.
+    fused_layer1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -67,9 +100,23 @@ class DCNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        x = Conv2d(self.ochannels1, self.kernel1, padding=2, name="cnn_0")(x)
-        x = PReLU(name="cnn_1")(x)
-        x = max_pool_2x2(x)
+        if self.fused_layer1 and x.shape[-1] == 1 and self.kernel1 == 3:
+            from ..ops.fused_conv1 import fused_conv1_prelu_pool
+
+            kernel, bias = _ConvScope(
+                (3, 3, 1, self.ochannels1), name="cnn_0"
+            )()
+            alpha = _AlphaScope(name="cnn_1")()
+            x = fused_conv1_prelu_pool(
+                x[..., 0],
+                kernel.reshape(9, self.ochannels1).astype(x.dtype),
+                bias.astype(x.dtype),
+                alpha.reshape(1).astype(x.dtype),
+            )
+        else:
+            x = Conv2d(self.ochannels1, self.kernel1, padding=2, name="cnn_0")(x)
+            x = PReLU(name="cnn_1")(x)
+            x = max_pool_2x2(x)
         x = BatchNorm(affine=False, name="cnn_3")(x, train)
         x = Conv2d(self.ochannels2, 1, padding=0, name="cnn_4")(x)
         x = PReLU(name="cnn_5")(x)

@@ -1,0 +1,106 @@
+"""Fused conv1+PReLU+pool Pallas block (interpreter mode on CPU)."""
+
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.ops.fused_conv1 import (
+    fused_conv1_prelu_pool,
+    reference_conv1_prelu_pool,
+)
+
+
+class TestFusedConv1:
+    @pytest.mark.parametrize("h,w,c", [(95, 256, 16), (101, 256, 8), (87, 256, 4)])
+    def test_forward_matches_reference(self, h, w, c):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, h, w).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(9, c).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+        alpha = jnp.asarray([0.25], np.float32)
+        ref = reference_conv1_prelu_pool(x, wgt, b, alpha)
+        got = fused_conv1_prelu_pool(x, wgt, b, alpha)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 63, 128).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(9, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        alpha = jnp.asarray([0.25], np.float32)
+
+        gf = jax.grad(
+            lambda w_, b_, a_: jnp.sum(fused_conv1_prelu_pool(x, w_, b_, a_) ** 2),
+            argnums=(0, 1, 2),
+        )(wgt, b, alpha)
+        gr = jax.grad(
+            lambda w_, b_, a_: jnp.sum(reference_conv1_prelu_pool(x, w_, b_, a_) ** 2),
+            argnums=(0, 1, 2),
+        )(wgt, b, alpha)
+        for a_, b_ in zip(gf, gr):
+            scale = max(float(jnp.max(jnp.abs(b_))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-5
+            )
+
+
+class TestFusedDCNN:
+    def test_bundled_checkpoint_forward_parity(self):
+        from audiodeepfake_detection_tpu.models import (
+            DCNN,
+            import_dcnn,
+            load_torch_state_dict,
+        )
+
+        paths = glob.glob("/root/reference/models/model_packetssym5_*.pt")
+        if not paths:
+            pytest.skip("bundled checkpoints unavailable")
+        v = jax.tree.map(np.asarray, import_dcnn(load_torch_state_dict(paths[0])))
+        x = np.random.RandomState(0).randn(4, 1, 256, 95).astype(np.float32)
+        base = np.asarray(DCNN(time_dim=12).apply(v, x, train=False))
+        fused = np.asarray(
+            DCNN(time_dim=12, fused_layer1=True).apply(v, x, train=False)
+        )
+        np.testing.assert_allclose(fused, base, atol=1e-4)
+
+    def test_train_step_runs_with_fused_layer(self):
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        model = DCNN(
+            time_dim=1,
+            ochannels1=4,
+            ochannels2=4,
+            ochannels3=6,
+            ochannels4=8,
+            ochannels5=4,
+            fused_layer1=True,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        tx = make_optimizer(4e-4, 1e-3)
+        rng = np.random.RandomState(0)
+        batch = {
+            "audio": rng.randn(8, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 8).astype(np.int32),
+        }
+        img = transform(jnp.asarray(batch["audio"][:2]))
+        state = create_train_state(model, tx, img, seed=0)
+        step = make_train_step(model, transform, tx)
+        state, stats = step(state, batch)
+        l0 = float(stats["loss"])
+        for _ in range(3):
+            state, stats = step(state, batch)
+        assert np.isfinite(float(stats["loss"]))
+        assert float(stats["loss"]) < l0  # it learns on the fixed batch
