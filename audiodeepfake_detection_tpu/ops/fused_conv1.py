@@ -2,24 +2,30 @@
 
 The DCNN's first layer dominates HBM traffic: its pre-pool activation is
 ``[B, H+2, W+2, 64]`` (~410 MB at batch 128 bf16), written by the conv,
-re-read by PReLU and the pool, and the whole tensor again in the backward.
-This kernel keeps the activation strictly in VMEM: one pass reads the
-``[B, H, W, 1]`` image (~12 MB) and writes only the pooled output
-(~100 MB).
+re-read by PReLU and the pool, and again in the backward.  This kernel keeps
+that activation strictly in VMEM: one pass reads the phase-decomposed input
+image (~12 MB) and writes only the pooled output (~100 MB).
 
-Two structural facts make a compact custom VJP possible:
+Design notes:
 
-* the layer input comes from the (stop-gradient) transform, so **no input
-  gradient is needed** — only dW, db and dalpha;
-* those are small reductions, so the backward *recomputes* the conv in VMEM
-  (cheap FLOPs) instead of saving masks, and accumulates
-  ``dW [9, C]`` / ``db [C]`` / ``dalpha [1]`` across the sequential TPU grid
-  into revisited output blocks.
+* **Phase decomposition instead of strided ops.**  Mosaic supports neither
+  >2-D strided gathers nor stride-2 windows in-kernel, so the input is
+  pre-split (in XLA, where strided slicing is free) into its four parity
+  phases ``x[a::2, b::2]``.  Each pool-window position (a, b) then gets its
+  conv output from 9 *static* slices of the phase arrays — the pooled max
+  and the PReLU never materialize the full-resolution activation.
+* **Compact custom VJP.**  The layer input comes from the (stop-gradient)
+  transform, so no input gradient is needed — only ``dW [9, C]``,
+  ``db [C]`` and ``dalpha [1]``, which are small reductions.  The backward
+  *recomputes* the conv phases in VMEM (cheap FLOPs beat saving masks) and
+  accumulates the gradients across the sequential TPU grid into revisited
+  output blocks, with first-match tie-breaking identical to the forward's
+  nested ``maximum``.
+* The 1-input-channel 3x3 conv runs as 9 shifted multiply-adds on the VPU
+  (an MXU matmul would have 9/128 contraction density).
 
-The 1-input-channel 3x3 conv is expressed as 9 shifted multiply-adds on the
-VPU (an MXU matmul would run at 9/128 contraction density).  Used by
-``DCNN(fused_layer1=True)``; numerics match the unfused path to fp32
-roundoff (tests run the kernel in interpreter mode on CPU).
+Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
+fp32 roundoff (tests run the kernel in interpreter mode on CPU).
 """
 
 from __future__ import annotations
@@ -29,42 +35,64 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PAD = 2  # torch Conv2d(1, C, 3, stride=1, padding=2)
+PAD = 2  # torch Conv2d(1, C, 3, stride=1, padding=2) — zero padding
 K = 3
 
 
-def _conv_rows(x_pad, w, b, h_out, w_out):
-    """Conv output [rows, w_out, C] from padded input [rows+2, w_pad]."""
+def _pad_geometry(h: int, w: int) -> Tuple[int, int]:
+    h_out, w_out = h + 2 * PAD - K + 1, w + 2 * PAD - K + 1
+    return h_out // 2, w_out // 2  # pooled (floor) output
+
+
+def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
+    """``[B, H, W] -> [B, 2, 2, h2+2, w2+2]`` zero-padded parity phases."""
+    b, h, w = x.shape
+    x_pad = jnp.pad(
+        x, ((0, 0), (PAD, 2 * h2 + 4 - h - PAD), (PAD, 2 * w2 + 4 - w - PAD))
+    )
+    ph = jnp.stack(
+        [
+            jnp.stack([x_pad[:, 0::2, 0::2], x_pad[:, 0::2, 1::2]], axis=1),
+            jnp.stack([x_pad[:, 1::2, 0::2], x_pad[:, 1::2, 1::2]], axis=1),
+        ],
+        axis=1,
+    )  # [B, a, b, h2+2, w2+2]
+    return ph
+
+
+def _phase_conv(xph, w, bias, a_off, b_off, h2, w2):
+    """Conv output at positions (2i+a_off, 2j+b_off): ``[h2, w2, C]``."""
     acc = None
     for dh in range(K):
         for dw in range(K):
-            window = x_pad[dh : dh + h_out, dw : dw + w_out]
-            term = window[..., None] * w[dh * K + dw][None, None, :]
+            oh, ow = a_off + dh, b_off + dw
+            win = xph[oh % 2, ow % 2][
+                oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
+            ]
+            term = win[..., None] * w[dh * K + dw][None, None, :]
             acc = term if acc is None else acc + term
-    return acc + b[None, None, :]
+    return acc + bias[None, None, :]
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, alpha_ref, out_ref):
-    # x block: [1, H_pad, W_pad]; out block: [1, H2, W2, C]
-    h2, w2, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    x = x_ref[0]
+def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
+    h2, w2 = out_ref.shape[1], out_ref.shape[2]
+    xph = xph_ref[0]
     w = w_ref[...]
-    b = b_ref[...]
+    bias = b_ref[...]
     alpha = alpha_ref[0]
-    conv = _conv_rows(x, w, b, 2 * h2, 2 * w2)
-    act = jnp.where(conv >= 0, conv, alpha * conv)
-    pooled = jnp.maximum(
-        jnp.maximum(act[0::2, 0::2], act[0::2, 1::2]),
-        jnp.maximum(act[1::2, 0::2], act[1::2, 1::2]),
-    )
+    pooled = None
+    for a in range(2):
+        for b in range(2):
+            conv = _phase_conv(xph, w, bias, a, b, h2, w2)
+            act = jnp.where(conv >= 0, conv, alpha * conv)
+            pooled = act if pooled is None else jnp.maximum(pooled, act)
     out_ref[0] = pooled
 
 
-def _bwd_kernel(x_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref):
+def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -73,98 +101,87 @@ def _bwd_kernel(x_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref):
         db_ref[...] = jnp.zeros_like(db_ref)
         da_ref[...] = jnp.zeros_like(da_ref)
 
-    h2, w2, c = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
-    h_out, w_out = 2 * h2, 2 * w2
-    x = x_ref[0]
+    h2, w2 = g_ref.shape[1], g_ref.shape[2]
+    xph = xph_ref[0]
     w = w_ref[...]
-    b = b_ref[...]
+    bias = b_ref[...]
     alpha = alpha_ref[0]
     g = g_ref[0]
 
-    conv = _conv_rows(x, w, b, h_out, w_out)
-    act = jnp.where(conv >= 0, conv, alpha * conv)
-    # pool argmax mask (ties broken toward the first element, matching the
-    # forward's nested maximum order closely enough for gradients)
-    p00, p01 = act[0::2, 0::2], act[0::2, 1::2]
-    p10, p11 = act[1::2, 0::2], act[1::2, 1::2]
-    m = jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
-    # distribute pool grad to the (first) max position
-    is00 = p00 == m
-    is01 = jnp.logical_and(p01 == m, jnp.logical_not(is00))
-    is10 = jnp.logical_and(
-        p10 == m, jnp.logical_not(jnp.logical_or(is00, is01))
-    )
-    is11 = jnp.logical_not(jnp.logical_or(jnp.logical_or(is00, is01), is10))
-    d_act = jnp.zeros((h_out, w_out, c), g.dtype)
-    d_act = d_act.at[0::2, 0::2].set(jnp.where(is00, g, 0))
-    d_act = d_act.at[0::2, 1::2].set(jnp.where(is01, g, 0))
-    d_act = d_act.at[1::2, 0::2].set(jnp.where(is10, g, 0))
-    d_act = d_act.at[1::2, 1::2].set(jnp.where(is11, g, 0))
-    # PReLU backward
-    neg = conv < 0
-    d_conv = jnp.where(neg, alpha * d_act, d_act).astype(jnp.float32)
-    da_ref[0] += jnp.sum(jnp.where(neg, conv * d_act, 0.0).astype(jnp.float32))
-    db_ref[...] += jnp.sum(d_conv, axis=(0, 1))
-    for dh in range(K):
-        for dw in range(K):
-            window = x[dh : dh + h_out, dw : dw + w_out].astype(jnp.float32)
-            dw_ref[dh * K + dw, :] += jnp.sum(
-                window[..., None] * d_conv, axis=(0, 1)
-            )
+    # recompute activation phases; the pooled max with the forward's
+    # first-match priority (phase order 00, 01, 10, 11)
+    acts = []
+    convs = []
+    for a in range(2):
+        for b in range(2):
+            conv = _phase_conv(xph, w, bias, a, b, h2, w2)
+            convs.append(conv)
+            acts.append(jnp.where(conv >= 0, conv, alpha * conv))
+    m = jnp.maximum(jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3]))
+
+    taken = None
+    dw_acc = jnp.zeros_like(dw_ref)
+    db_acc = jnp.zeros_like(db_ref)
+    da_acc = jnp.zeros_like(da_ref)
+    for idx, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        is_max = acts[idx] == m
+        if taken is None:
+            sel = is_max
+            taken = is_max
+        else:
+            sel = jnp.logical_and(is_max, jnp.logical_not(taken))
+            taken = jnp.logical_or(taken, is_max)
+        d_act = jnp.where(sel, g, 0)
+        neg = convs[idx] < 0
+        d_conv = jnp.where(neg, alpha * d_act, d_act).astype(jnp.float32)
+        da_acc = da_acc + jnp.sum(
+            jnp.where(neg, convs[idx] * d_act, 0).astype(jnp.float32)
+        )
+        db_acc = db_acc + jnp.sum(d_conv, axis=(0, 1))
+        for dh in range(K):
+            for dw_ in range(K):
+                oh, ow = a + dh, b + dw_
+                win = xph[oh % 2, ow % 2][
+                    oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
+                ].astype(jnp.float32)
+                dw_acc = dw_acc.at[dh * K + dw_, :].add(
+                    jnp.sum(win[..., None] * d_conv, axis=(0, 1))
+                )
+    dw_ref[...] += dw_acc
+    db_ref[...] += db_acc
+    da_ref[...] += da_acc
 
 
-def _pad_geometry(h: int, w: int) -> Tuple[int, int, int, int]:
-    h_out, w_out = h + 2 * PAD - K + 1, w + 2 * PAD - K + 1
-    h2, w2 = h_out // 2, w_out // 2
-    return h_out, w_out, h2, w2
-
-
-def _prep(x, h2, w2):
-    """Zero-pad the image so conv windows cover exactly 2*h2 x 2*w2."""
-    b, h, w = x.shape
-    return jnp.pad(x, ((0, 0), (PAD, 2 * h2 - h - PAD + K - 1), (PAD, 2 * w2 - w - PAD + K - 1)))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
 def fused_conv1_prelu_pool(x, w, b, alpha):
     """``[B, H, W] x [9, C] x [C] x [1] -> [B, H2, W2, C]`` fused block."""
     return _fused_fwd_impl(x, w, b, alpha)
 
 
-def _call(kernel, x, w, b, alpha, out_shapes, extra=()):
-    interpret = jax.default_backend() != "tpu"
-    bsz = x.shape[0]
-    grid = (bsz,)
-    in_specs = [
-        pl.BlockSpec((1, x.shape[1], x.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(w.shape, lambda i: tuple([0] * w.ndim), memory_space=pltpu.VMEM),
-        pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-    ]
-    for e in extra:
-        in_specs.append(
-            pl.BlockSpec((1,) + e.shape[1:], lambda i: (i,) + (0,) * (e.ndim - 1), memory_space=pltpu.VMEM)
-        )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_shapes[1],
-        out_shape=out_shapes[0],
-        interpret=interpret,
-    )(x, w, b, alpha, *extra)
-
-
 def _fused_fwd_impl(x, w, b, alpha):
     bsz, h, win = x.shape
-    _, _, h2, w2 = _pad_geometry(h, win)
+    h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
-    x_pad = _prep(x, h2, w2)
-    out_shape = jax.ShapeDtypeStruct((bsz, h2, w2, c), x.dtype)
-    out_spec = pl.BlockSpec(
-        (1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    return _call(_fwd_kernel, x_pad, w, b, alpha, (out_shape, out_spec))
+    xph = _phases(x, h2, w2)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h2, w2, c), x.dtype),
+        interpret=interpret,
+    )(xph, w, b, alpha)
 
 
 def _fused_fwd(x, w, b, alpha):
@@ -174,34 +191,37 @@ def _fused_fwd(x, w, b, alpha):
 def _fused_bwd(res, g):
     x, w, b, alpha = res
     bsz, h, win = x.shape
-    _, _, h2, w2 = _pad_geometry(h, win)
+    h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
-    x_pad = _prep(x, h2, w2)
+    xph = _phases(x, h2, w2)
     interpret = jax.default_backend() != "tpu"
-    out_shapes = (
-        jax.ShapeDtypeStruct((9, c), jnp.float32),
-        jax.ShapeDtypeStruct((c,), jnp.float32),
-        jax.ShapeDtypeStruct((1,), jnp.float32),
-    )
-    out_specs = (
-        pl.BlockSpec((9, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.VMEM),
-    )
     dw, db, da = pl.pallas_call(
         _bwd_kernel,
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, x_pad.shape[1], x_pad.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=(
+            pl.BlockSpec((9, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, c), jnp.float32),
+            jax.ShapeDtypeStruct((c,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
         interpret=interpret,
-    )(x_pad, w, b, alpha, g)
+    )(xph, w, b, alpha, g)
     return (
         jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
         dw.astype(w.dtype),
