@@ -41,6 +41,7 @@ def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) ->
     return DCNN(
         dtype=dtype,
         precision=precision,
+        fused_layer1=bool(args.fused_layer1),
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
         ochannels2=args.ochannels2 or 64,
