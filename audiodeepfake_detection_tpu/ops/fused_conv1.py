@@ -82,7 +82,8 @@ def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
     xph = xph_ref[0]
     w = w_ref[...]
     bias = b_ref[...]
-    alpha = alpha_ref[0]
+    # alpha arrives fp32: Mosaic only supports 32-bit scalar extracts
+    alpha = alpha_ref[0].astype(w.dtype)
     pooled = None
     for a in range(2):
         for b in range(2):
@@ -105,7 +106,7 @@ def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref)
     xph = xph_ref[0]
     w = w_ref[...]
     bias = b_ref[...]
-    alpha = alpha_ref[0]
+    alpha = alpha_ref[0].astype(w.dtype)
     g = g_ref[0]
 
     # recompute activation phases; the pooled max with the forward's
@@ -162,6 +163,7 @@ def _fused_fwd_impl(x, w, b, alpha):
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
+    alpha = alpha.astype(jnp.float32)
     xph = _phases(x, h2, w2)
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -193,6 +195,7 @@ def _fused_bwd(res, g):
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
+    alpha32 = alpha.astype(jnp.float32)
     xph = _phases(x, h2, w2)
     interpret = jax.default_backend() != "tpu"
     dw, db, da = pl.pallas_call(
@@ -221,7 +224,7 @@ def _fused_bwd(res, g):
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         interpret=interpret,
-    )(xph, w, b, alpha, g)
+    )(xph, w, b, alpha32, g)
     return (
         jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
         dw.astype(w.dtype),
