@@ -63,8 +63,20 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     return ph
 
 
+def _bcast_hw(a, h2, w2, c):
+    """[h2, w2] -> [h2, w2, c] (explicit broadcast; Mosaic rejects the
+    equivalent reshape-to-[h2, w2, 1] in bf16)."""
+    return jax.lax.broadcast_in_dim(a, (h2, w2, c), (0, 1))
+
+
+def _bcast_c(v, h2, w2, c):
+    """[c] -> [h2, w2, c]."""
+    return jax.lax.broadcast_in_dim(v, (h2, w2, c), (2,))
+
+
 def _phase_conv(xph, w, bias, a_off, b_off, h2, w2):
     """Conv output at positions (2i+a_off, 2j+b_off): ``[h2, w2, C]``."""
+    c = w.shape[-1]
     acc = None
     for dh in range(K):
         for dw in range(K):
@@ -72,9 +84,9 @@ def _phase_conv(xph, w, bias, a_off, b_off, h2, w2):
             win = xph[oh % 2, ow % 2][
                 oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
             ]
-            term = win[..., None] * w[dh * K + dw][None, None, :]
+            term = _bcast_hw(win, h2, w2, c) * _bcast_c(w[dh * K + dw], h2, w2, c)
             acc = term if acc is None else acc + term
-    return acc + bias[None, None, :]
+    return acc + _bcast_c(bias, h2, w2, c)
 
 
 def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
@@ -145,8 +157,9 @@ def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref)
                 win = xph[oh % 2, ow % 2][
                     oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
                 ].astype(jnp.float32)
+                c = d_conv.shape[-1]
                 dw_acc = dw_acc.at[dh * K + dw_, :].add(
-                    jnp.sum(win[..., None] * d_conv, axis=(0, 1))
+                    jnp.sum(_bcast_hw(win, h2, w2, c) * d_conv, axis=(0, 1))
                 )
     dw_ref[...] += dw_acc
     db_ref[...] += db_acc
