@@ -75,18 +75,24 @@ def _bcast_c(v, h2, w2, c):
 
 
 def _phase_conv(xph, w, bias, a_off, b_off, h2, w2):
-    """Conv output at positions (2i+a_off, 2j+b_off): ``[h2, w2, C]``."""
+    """Conv output at positions (2i+a_off, 2j+b_off): ``[h2, w2, C]`` fp32.
+
+    Compute runs in fp32 regardless of storage dtype: Mosaic only supports
+    minor-dim-inserting broadcasts for 32-bit types, and the fp32 VPU math
+    also keeps the block numerically identical to the unfused path.
+    """
     c = w.shape[-1]
+    w32 = w.astype(jnp.float32)
     acc = None
     for dh in range(K):
         for dw in range(K):
             oh, ow = a_off + dh, b_off + dw
             win = xph[oh % 2, ow % 2][
                 oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
-            ]
-            term = _bcast_hw(win, h2, w2, c) * _bcast_c(w[dh * K + dw], h2, w2, c)
+            ].astype(jnp.float32)
+            term = _bcast_hw(win, h2, w2, c) * _bcast_c(w32[dh * K + dw], h2, w2, c)
             acc = term if acc is None else acc + term
-    return acc + _bcast_c(bias, h2, w2, c)
+    return acc + _bcast_c(bias.astype(jnp.float32), h2, w2, c)
 
 
 def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
@@ -95,14 +101,14 @@ def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
     w = w_ref[...]
     bias = b_ref[...]
     # alpha arrives fp32: Mosaic only supports 32-bit scalar extracts
-    alpha = alpha_ref[0].astype(w.dtype)
+    alpha = alpha_ref[0]
     pooled = None
     for a in range(2):
         for b in range(2):
             conv = _phase_conv(xph, w, bias, a, b, h2, w2)
             act = jnp.where(conv >= 0, conv, alpha * conv)
             pooled = act if pooled is None else jnp.maximum(pooled, act)
-    out_ref[0] = pooled
+    out_ref[0] = pooled.astype(out_ref.dtype)
 
 
 def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref):
@@ -118,8 +124,8 @@ def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref)
     xph = xph_ref[0]
     w = w_ref[...]
     bias = b_ref[...]
-    alpha = alpha_ref[0].astype(w.dtype)
-    g = g_ref[0]
+    alpha = alpha_ref[0]
+    g = g_ref[0].astype(jnp.float32)
 
     # recompute activation phases; the pooled max with the forward's
     # first-match priority (phase order 00, 01, 10, 11)
@@ -157,9 +163,9 @@ def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref)
                 win = xph[oh % 2, ow % 2][
                     oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
                 ].astype(jnp.float32)
-                c = d_conv.shape[-1]
+                cc = d_conv.shape[-1]
                 dw_acc = dw_acc.at[dh * K + dw_, :].add(
-                    jnp.sum(_bcast_hw(win, h2, w2, c) * d_conv, axis=(0, 1))
+                    jnp.sum(_bcast_hw(win, h2, w2, cc) * d_conv, axis=(0, 1))
                 )
     dw_ref[...] += dw_acc
     db_ref[...] += db_acc
