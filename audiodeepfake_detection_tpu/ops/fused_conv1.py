@@ -6,31 +6,32 @@ re-read by PReLU and the pool, and again in the backward.  This kernel keeps
 that activation strictly in VMEM: one pass reads the phase-decomposed input
 image (~12 MB) and writes only the pooled output (~100 MB).
 
-Design notes:
+Mosaic-driven design (several simpler formulations are rejected by the TPU
+lowering: >2-D strided gathers, minor-dim-inserting reshapes/broadcasts,
+sub-32-bit scalar extracts):
 
-* **Phase decomposition instead of strided ops.**  Mosaic supports neither
-  >2-D strided gathers nor stride-2 windows in-kernel, so the input is
-  pre-split (in XLA, where strided slicing is free) into its four parity
-  phases ``x[a::2, b::2]``.  Each pool-window position (a, b) then gets its
-  conv output from 9 *static* slices of the phase arrays — the pooled max
-  and the PReLU never materialize the full-resolution activation.
+* **Phase decomposition.**  The input is pre-split in XLA into its four
+  parity phases ``x[a::2, b::2]``; every pool-window position then reads 9
+  contiguous slices — no strided access in-kernel.
+* **Row loop with rank-1 broadcasts.**  A ``fori_loop`` walks output rows;
+  each conv row is built from ``w_col [C, 1] * win_row [1, W]`` products —
+  the canonical size-1-dim broadcast Mosaic supports — and pooled across
+  the four phases without materializing the full-resolution activation.
+  The output layout is ``[B, h2, C, w2]`` so a row write is a leading-index
+  store; the caller transposes to NHWC (cheap in XLA).
 * **Compact custom VJP.**  The layer input comes from the (stop-gradient)
-  transform, so no input gradient is needed — only ``dW [9, C]``,
-  ``db [C]`` and ``dalpha [1]``, which are small reductions.  The backward
-  *recomputes* the conv phases in VMEM (cheap FLOPs beat saving masks) and
-  accumulates the gradients across the sequential TPU grid into revisited
-  output blocks, with first-match tie-breaking identical to the forward's
-  nested ``maximum``.
-* The 1-input-channel 3x3 conv runs as 9 shifted multiply-adds on the VPU
-  (an MXU matmul would have 9/128 contraction density).
+  transform, so no input gradient is needed — only ``dW [9, C]``, ``db [C]``
+  and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM and
+  carries the small gradient accumulators through the row loop, with
+  first-match pool tie-breaking identical to the forward's nested maximum.
 
 Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
-fp32 roundoff (tests run the kernel in interpreter mode on CPU).
+fp32 roundoff (compute is fp32 in-kernel regardless of storage dtype).
+Tests run the kernel in interpreter mode on CPU.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -40,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 PAD = 2  # torch Conv2d(1, C, 3, stride=1, padding=2) — zero padding
 K = 3
+_PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
 def _pad_geometry(h: int, w: int) -> Tuple[int, int]:
@@ -52,124 +54,120 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     b, h, w = x.shape
     x_pad = jnp.pad(
         x, ((0, 0), (PAD, 2 * h2 + 4 - h - PAD), (PAD, 2 * w2 + 4 - w - PAD))
-    )
-    ph = jnp.stack(
+    ).astype(jnp.float32)
+    return jnp.stack(
         [
             jnp.stack([x_pad[:, 0::2, 0::2], x_pad[:, 0::2, 1::2]], axis=1),
             jnp.stack([x_pad[:, 1::2, 0::2], x_pad[:, 1::2, 1::2]], axis=1),
         ],
         axis=1,
     )  # [B, a, b, h2+2, w2+2]
-    return ph
 
 
-def _bcast_hw(a, h2, w2, c):
-    """[h2, w2] -> [h2, w2, c] (explicit broadcast; Mosaic rejects the
-    equivalent reshape-to-[h2, w2, 1] in bf16)."""
-    return jax.lax.broadcast_in_dim(a, (h2, w2, c), (0, 1))
+def _conv_row(xph, wt, bias_col, h, a_off, b_off, w2, c):
+    """Conv row at output positions (2h+a_off, 2j+b_off): ``[C, w2]``.
 
-
-def _bcast_c(v, h2, w2, c):
-    """[c] -> [h2, w2, c]."""
-    return jax.lax.broadcast_in_dim(v, (h2, w2, c), (2,))
-
-
-def _phase_conv(xph, w, bias, a_off, b_off, h2, w2):
-    """Conv output at positions (2i+a_off, 2j+b_off): ``[h2, w2, C]`` fp32.
-
-    Compute runs in fp32 regardless of storage dtype: Mosaic only supports
-    minor-dim-inserting broadcasts for 32-bit types, and the fp32 VPU math
-    also keeps the block numerically identical to the unfused path.
+    ``xph``: [2, 2, h2+2, w2+2] phases; ``wt``: [C, 16] transposed taps
+    (taps 0-8 used); ``bias_col``: [C, 1].
     """
-    c = w.shape[-1]
-    w32 = w.astype(jnp.float32)
     acc = None
     for dh in range(K):
         for dw in range(K):
             oh, ow = a_off + dh, b_off + dw
-            win = xph[oh % 2, ow % 2][
-                oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
-            ].astype(jnp.float32)
-            term = _bcast_hw(win, h2, w2, c) * _bcast_c(w32[dh * K + dw], h2, w2, c)
+            win = jax.lax.dynamic_slice(
+                xph[oh % 2, ow % 2], (h + oh // 2, ow // 2), (1, w2)
+            )  # [1, w2]
+            term = wt[:, dh * K + dw : dh * K + dw + 1] * win  # [C, w2]
             acc = term if acc is None else acc + term
-    return acc + _bcast_c(bias.astype(jnp.float32), h2, w2, c)
+    return acc + bias_col
 
 
-def _fwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, out_ref):
-    h2, w2 = out_ref.shape[1], out_ref.shape[2]
-    xph = xph_ref[0]
-    w = w_ref[...]
-    bias = b_ref[...]
-    # alpha arrives fp32: Mosaic only supports 32-bit scalar extracts
-    alpha = alpha_ref[0]
-    pooled = None
-    for a in range(2):
-        for b in range(2):
-            conv = _phase_conv(xph, w, bias, a, b, h2, w2)
+def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref):
+    h2, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    alpha = alpha_ref[0, 0]
+
+    def row(h, carry):
+        pooled = None
+        for a, b in _PHASES:
+            conv = _conv_row(
+                xph_ref[0], wt_ref[...], b_ref[...], h, a, b, w2, c
+            )
             act = jnp.where(conv >= 0, conv, alpha * conv)
             pooled = act if pooled is None else jnp.maximum(pooled, act)
-    out_ref[0] = pooled.astype(out_ref.dtype)
+        out_ref[0, pl.ds(h, 1)] = pooled.reshape(1, c, w2).astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, h2, row, 0)
 
 
-def _bwd_kernel(xph_ref, w_ref, b_ref, alpha_ref, g_ref, dw_ref, db_ref, da_ref):
+def _bwd_kernel(
+    xph_ref, wt_ref, b_ref, alpha_ref, g_ref, dwt_ref, db_ref, da_ref
+):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
         da_ref[...] = jnp.zeros_like(da_ref)
 
-    h2, w2 = g_ref.shape[1], g_ref.shape[2]
+    h2, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    alpha = alpha_ref[0, 0]
     xph = xph_ref[0]
-    w = w_ref[...]
-    bias = b_ref[...]
-    alpha = alpha_ref[0]
-    g = g_ref[0].astype(jnp.float32)
+    wt = wt_ref[...]
+    bias_col = b_ref[...]
 
-    # recompute activation phases; the pooled max with the forward's
-    # first-match priority (phase order 00, 01, 10, 11)
-    acts = []
-    convs = []
-    for a in range(2):
-        for b in range(2):
-            conv = _phase_conv(xph, w, bias, a, b, h2, w2)
+    def row(h, carry):
+        dwt_acc, db_acc, da_acc = carry
+        g = g_ref[0, pl.ds(h, 1)].reshape(c, w2).astype(jnp.float32)
+        convs = []
+        acts = []
+        for a, b in _PHASES:
+            conv = _conv_row(xph, wt, bias_col, h, a, b, w2, c)
             convs.append(conv)
             acts.append(jnp.where(conv >= 0, conv, alpha * conv))
-    m = jnp.maximum(jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3]))
-
-    taken = None
-    dw_acc = jnp.zeros_like(dw_ref)
-    db_acc = jnp.zeros_like(db_ref)
-    da_acc = jnp.zeros_like(da_ref)
-    for idx, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        is_max = acts[idx] == m
-        if taken is None:
-            sel = is_max
-            taken = is_max
-        else:
-            sel = jnp.logical_and(is_max, jnp.logical_not(taken))
-            taken = jnp.logical_or(taken, is_max)
-        d_act = jnp.where(sel, g, 0)
-        neg = convs[idx] < 0
-        d_conv = jnp.where(neg, alpha * d_act, d_act).astype(jnp.float32)
-        da_acc = da_acc + jnp.sum(
-            jnp.where(neg, convs[idx] * d_act, 0).astype(jnp.float32)
+        m = jnp.maximum(
+            jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
-        db_acc = db_acc + jnp.sum(d_conv, axis=(0, 1))
-        for dh in range(K):
-            for dw_ in range(K):
-                oh, ow = a + dh, b + dw_
-                win = xph[oh % 2, ow % 2][
-                    oh // 2 : oh // 2 + h2, ow // 2 : ow // 2 + w2
-                ].astype(jnp.float32)
-                cc = d_conv.shape[-1]
-                dw_acc = dw_acc.at[dh * K + dw_, :].add(
-                    jnp.sum(_bcast_hw(win, h2, w2, cc) * d_conv, axis=(0, 1))
-                )
-    dw_ref[...] += dw_acc
+        taken = None
+        for idx, (a, b) in enumerate(_PHASES):
+            is_max = acts[idx] == m
+            if taken is None:
+                sel = is_max
+                taken = is_max
+            else:
+                sel = jnp.logical_and(is_max, jnp.logical_not(taken))
+                taken = jnp.logical_or(taken, is_max)
+            d_act = jnp.where(sel, g, 0.0)
+            neg = convs[idx] < 0
+            d_conv = jnp.where(neg, alpha * d_act, d_act)  # [C, w2]
+            da_acc = da_acc + jnp.sum(jnp.where(neg, convs[idx] * d_act, 0.0))
+            db_acc = db_acc + jnp.sum(d_conv, axis=1, keepdims=True)
+            for dh in range(K):
+                for dw in range(K):
+                    oh, ow = a + dh, b + dw
+                    win = jax.lax.dynamic_slice(
+                        xph[oh % 2, ow % 2], (h + oh // 2, ow // 2), (1, w2)
+                    )  # [1, w2]
+                    contrib = jnp.sum(d_conv * win, axis=1, keepdims=True)
+                    dwt_acc = dwt_acc.at[:, dh * K + dw : dh * K + dw + 1].add(
+                        contrib
+                    )
+        return dwt_acc, db_acc, da_acc
+
+    dwt_acc, db_acc, da_acc = jax.lax.fori_loop(
+        0,
+        h2,
+        row,
+        (
+            jnp.zeros((c, 16), jnp.float32),
+            jnp.zeros((c, 1), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ),
+    )
+    dwt_ref[...] += dwt_acc
     db_ref[...] += db_acc
-    da_ref[...] += da_acc
+    da_ref[0, 0] += da_acc
 
 
 @jax.custom_vjp
@@ -178,14 +176,25 @@ def fused_conv1_prelu_pool(x, w, b, alpha):
     return _fused_fwd_impl(x, w, b, alpha)
 
 
+def _prep_params(w, b, alpha):
+    wt = (
+        jnp.zeros((w.shape[1], 16), jnp.float32)
+        .at[:, :9]
+        .set(w.astype(jnp.float32).T)
+    )  # [C, 16] lane-padded transposed taps
+    bias_col = b.astype(jnp.float32)[:, None]  # [C, 1]
+    alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
+    return wt, bias_col, alpha2
+
+
 def _fused_fwd_impl(x, w, b, alpha):
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
-    alpha = alpha.astype(jnp.float32)
     xph = _phases(x, h2, w2)
+    wt, bias_col, alpha2 = _prep_params(w, b, alpha)
     interpret = jax.default_backend() != "tpu"
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fwd_kernel,
         grid=(bsz,),
         in_specs=[
@@ -193,16 +202,21 @@ def _fused_fwd_impl(x, w, b, alpha):
                 (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                bias_col.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                alpha2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, h2, c, w2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h2, w2, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
         interpret=interpret,
-    )(xph, w, b, alpha)
+    )(xph, wt, bias_col, alpha2)
+    return jnp.transpose(out, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
 
 
 def _fused_fwd(x, w, b, alpha):
@@ -214,10 +228,11 @@ def _fused_bwd(res, g):
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
-    alpha32 = alpha.astype(jnp.float32)
     xph = _phases(x, h2, w2)
+    wt, bias_col, alpha2 = _prep_params(w, b, alpha)
+    g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(jnp.float32)  # [B, h2, C, w2]
     interpret = jax.default_backend() != "tpu"
-    dw, db, da = pl.pallas_call(
+    dwt, db, da = pl.pallas_call(
         _bwd_kernel,
         grid=(bsz,),
         in_specs=[
@@ -225,29 +240,33 @@ def _fused_bwd(res, g):
                 (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h2, w2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                bias_col.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                alpha2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h2, c, w2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec((9, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((9, c), jnp.float32),
-            jax.ShapeDtypeStruct((c,), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((c, 16), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(xph, w, b, alpha32, g)
+    )(xph, wt, bias_col, alpha2, g_t)
     return (
         jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
-        dw.astype(w.dtype),
-        db.astype(b.dtype),
+        dwt[:, :9].T.astype(w.dtype),
+        db[:, 0].astype(b.dtype),
         da.reshape(alpha.shape).astype(alpha.dtype),
     )
 
