@@ -64,19 +64,20 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     )  # [B, a, b, h2+2, w2+2]
 
 
-def _conv_row(xph, wt, bias_col, h, a_off, b_off, w2, c):
+def _conv_row(xph_ref, wt, bias_col, h, a_off, b_off, w2, c):
     """Conv row at output positions (2h+a_off, 2j+b_off): ``[C, w2]``.
 
-    ``xph``: [2, 2, h2+2, w2+2] phases; ``wt``: [C, 16] transposed taps
-    (taps 0-8 used); ``bias_col``: [C, 1].
+    ``xph_ref``: [1, 2, 2, h2+2, w2+2] phase ref (dynamic slicing must go
+    through the ref — Mosaic has no dynamic_slice on values); ``wt``:
+    [C, 16] transposed taps (taps 0-8 used); ``bias_col``: [C, 1].
     """
     acc = None
     for dh in range(K):
         for dw in range(K):
             oh, ow = a_off + dh, b_off + dw
-            win = jax.lax.dynamic_slice(
-                xph[oh % 2, ow % 2], (h + oh // 2, ow // 2), (1, w2)
-            )  # [1, w2]
+            win = xph_ref[
+                0, oh % 2, ow % 2, pl.ds(h + oh // 2, 1), pl.ds(ow // 2, w2)
+            ]  # [1, w2]
             term = wt[:, dh * K + dw : dh * K + dw + 1] * win  # [C, w2]
             acc = term if acc is None else acc + term
     return acc + bias_col
@@ -90,7 +91,7 @@ def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref):
         pooled = None
         for a, b in _PHASES:
             conv = _conv_row(
-                xph_ref[0], wt_ref[...], b_ref[...], h, a, b, w2, c
+                xph_ref, wt_ref[...], b_ref[...], h, a, b, w2, c
             )
             act = jnp.where(conv >= 0, conv, alpha * conv)
             pooled = act if pooled is None else jnp.maximum(pooled, act)
@@ -113,7 +114,6 @@ def _bwd_kernel(
 
     h2, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
     alpha = alpha_ref[0, 0]
-    xph = xph_ref[0]
     wt = wt_ref[...]
     bias_col = b_ref[...]
 
@@ -123,7 +123,7 @@ def _bwd_kernel(
         convs = []
         acts = []
         for a, b in _PHASES:
-            conv = _conv_row(xph, wt, bias_col, h, a, b, w2, c)
+            conv = _conv_row(xph_ref, wt, bias_col, h, a, b, w2, c)
             convs.append(conv)
             acts.append(jnp.where(conv >= 0, conv, alpha * conv))
         m = jnp.maximum(
@@ -146,9 +146,10 @@ def _bwd_kernel(
             for dh in range(K):
                 for dw in range(K):
                     oh, ow = a + dh, b + dw
-                    win = jax.lax.dynamic_slice(
-                        xph[oh % 2, ow % 2], (h + oh // 2, ow // 2), (1, w2)
-                    )  # [1, w2]
+                    win = xph_ref[
+                        0, oh % 2, ow % 2,
+                        pl.ds(h + oh // 2, 1), pl.ds(ow // 2, w2),
+                    ]  # [1, w2]
                     contrib = jnp.sum(d_conv * win, axis=1, keepdims=True)
                     dwt_acc = dwt_acc.at[:, dh * K + dw : dh * K + dw + 1].add(
                         contrib
