@@ -118,7 +118,9 @@ def _bwd_kernel(
     bias_col = b_ref[...]
 
     def row(h, carry):
-        dwt_acc, db_acc, da_acc = carry
+        # per-tap [C, 1] accumulators: .at[...].add on values would lower to
+        # an unsupported scatter-add
+        dtaps, db_acc, da_acc = carry
         g = g_ref[0, pl.ds(h, 1)].reshape(c, w2).astype(jnp.float32)
         convs = []
         acts = []
@@ -129,6 +131,7 @@ def _bwd_kernel(
         m = jnp.maximum(
             jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
+        dtaps = list(dtaps)
         taken = None
         for idx, (a, b) in enumerate(_PHASES):
             is_max = acts[idx] == m
@@ -151,22 +154,22 @@ def _bwd_kernel(
                         pl.ds(h + oh // 2, 1), pl.ds(ow // 2, w2),
                     ]  # [1, w2]
                     contrib = jnp.sum(d_conv * win, axis=1, keepdims=True)
-                    dwt_acc = dwt_acc.at[:, dh * K + dw : dh * K + dw + 1].add(
-                        contrib
-                    )
-        return dwt_acc, db_acc, da_acc
+                    tap = dh * K + dw
+                    dtaps[tap] = dtaps[tap] + contrib
+        return tuple(dtaps), db_acc, da_acc
 
-    dwt_acc, db_acc, da_acc = jax.lax.fori_loop(
+    dtaps, db_acc, da_acc = jax.lax.fori_loop(
         0,
         h2,
         row,
         (
-            jnp.zeros((c, 16), jnp.float32),
+            tuple(jnp.zeros((c, 1), jnp.float32) for _ in range(9)),
             jnp.zeros((c, 1), jnp.float32),
             jnp.zeros((), jnp.float32),
         ),
     )
-    dwt_ref[...] += dwt_acc
+    for tap in range(9):
+        dwt_ref[:, tap : tap + 1] += dtaps[tap]
     db_ref[...] += db_acc
     da_ref[0, 0] += da_acc
 
