@@ -258,7 +258,8 @@ def _fused_bwd(res, g):
         out_specs=(
             pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # scalar accumulator lives in SMEM (VMEM cannot store scalars)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((c, 16), jnp.float32),
