@@ -110,7 +110,7 @@ def _bwd_kernel(
     def _():
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
-        da_ref[...] = jnp.zeros_like(da_ref)
+        da_ref[0, 0] = 0.0  # SMEM: scalar stores only
 
     h2, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
     alpha = alpha_ref[0, 0]
