@@ -28,6 +28,13 @@ sub-32-bit scalar extracts):
 Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
 fp32 roundoff (compute is fp32 in-kernel regardless of storage dtype).
 Tests run the kernel in interpreter mode on CPU.
+
+STATUS — experimental, off by default: measured on v5e the fused step is
+currently *slower* than the XLA path (33.9 vs 16.6 ms/step at batch 128) —
+the row-loop issues 36 rank-1 VPU MACs per output row on a small [64, 129]
+tile and the ``fori_loop`` defeats pipelining, which costs more than the
+saved HBM round-trips.  Next iteration (TODO.md): multi-row tiles per loop
+step and wider lane utilization.
 """
 
 from __future__ import annotations
