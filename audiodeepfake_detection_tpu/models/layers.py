@@ -120,57 +120,15 @@ class Conv2d(nn.Module):
         )(x)
 
 
-@jax.custom_vjp
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Torch MaxPool2d(2, 2) (floor mode) on NHWC.
 
-    ``reduce_window`` forward (best XLA schedule; the crop+reshape+max
-    alternative measured slower, 22.2 vs 17.0 ms/step, because its slice
-    gradients materialize pads) with a **custom backward**: TPU lowers the
-    native pool gradient to ``select-and-scatter`` (~2.8 ms/step in the
-    fused train step); this VJP instead recomputes the four window-phase
-    masks with first-match (row-major) priority — identical semantics — and
-    interleaves the routed gradients with elementwise ops and reshapes that
-    XLA fuses into the surrounding backward.
+    ``reduce_window`` on purpose: its backward is TPU ``select-and-scatter``
+    (~2.8 ms/step in the fused train step), but the crop+reshape+max
+    alternative measured *slower* overall (22.2 vs 17.0 ms/step) because its
+    slice/reshape gradients materialize pads and break XLA fusions.
     """
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-
-
-def _max_pool_2x2_fwd(x):
-    out = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-    return out, (x, out)
-
-
-def _max_pool_2x2_bwd(res, g):
-    x, out = res
-    b, h, w, c = x.shape
-    h2, w2 = out.shape[1], out.shape[2]
-    xe = x[:, : 2 * h2, : 2 * w2]
-    phases = (
-        xe[:, 0::2, 0::2],
-        xe[:, 0::2, 1::2],
-        xe[:, 1::2, 0::2],
-        xe[:, 1::2, 1::2],
-    )
-    taken = None
-    d_phases = []
-    for p in phases:
-        is_max = p == out
-        sel = is_max if taken is None else jnp.logical_and(
-            is_max, jnp.logical_not(taken)
-        )
-        taken = is_max if taken is None else jnp.logical_or(taken, is_max)
-        d_phases.append(jnp.where(sel, g, 0))
-    # interleave phases back to full resolution: [B,h2,w2,C] x4 -> rows/cols
-    top = jnp.stack([d_phases[0], d_phases[1]], axis=3).reshape(b, h2, 2 * w2, c)
-    bot = jnp.stack([d_phases[2], d_phases[3]], axis=3).reshape(b, h2, 2 * w2, c)
-    dx = jnp.stack([top, bot], axis=2).reshape(b, 2 * h2, 2 * w2, c)
-    if 2 * h2 != h or 2 * w2 != w:
-        dx = jnp.pad(dx, ((0, 0), (0, h - 2 * h2), (0, w - 2 * w2), (0, 0)))
-    return (dx,)
-
-
-max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
 def max_feature_map_2d(x: jnp.ndarray) -> jnp.ndarray:
