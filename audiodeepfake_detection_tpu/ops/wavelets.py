@@ -100,8 +100,17 @@ def _binomial_halfband_roots(order: int) -> np.ndarray:
         shifted = np.zeros(2 * (n - 1) + 1)
         shifted[n - 1 - k : n - 1 - k + len(term)] = term
         total += p_y[k] * shifted
-    # np.roots expects descending coefficients.
-    return np.roots(total[::-1])
+    # np.roots expects descending coefficients; polish with Newton steps
+    # (the companion-matrix roots degrade for high orders).
+    coeffs = total[::-1]
+    roots = np.roots(coeffs)
+    dcoeffs = np.polyder(coeffs)
+    for _ in range(6):
+        f = np.polyval(coeffs, roots)
+        df = np.polyval(dcoeffs, roots)
+        step = np.where(np.abs(df) > 1e-30, f / np.where(df == 0, 1, df), 0)
+        roots = roots - step
+    return roots
 
 
 def _group_reciprocal_roots(roots: np.ndarray):
@@ -124,14 +133,22 @@ def _group_reciprocal_roots(roots: np.ndarray):
 
     while remaining:
         r = remaining.pop(0)
-        recip = pop_close(1.0 / np.conj(r) if False else 1.0 / r)
+        # synthesize missing partners (root finding may miss matches at
+        # high orders); reciprocals/conjugates are exact by construction
+        recip = pop_close(1.0 / r)
+        if recip is None:
+            recip = 1.0 / r
         if abs(r.imag) < 1e-10:
             inside = [r] if abs(r) < 1 else [recip]
             outside = [recip] if abs(r) < 1 else [r]
         else:
             conj = pop_close(np.conj(r))
+            if conj is None:
+                conj = np.conj(r)
             conj_recip = pop_close(1.0 / np.conj(r))
-            quad = [x for x in (r, recip, conj, conj_recip) if x is not None]
+            if conj_recip is None:
+                conj_recip = 1.0 / np.conj(r)
+            quad = [r, recip, conj, conj_recip]
             inside = [x for x in quad if abs(x) < 1]
             outside = [x for x in quad if abs(x) >= 1]
         groups.append((inside, outside))
@@ -328,6 +345,21 @@ def _coiflet(order: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _validate(name: str, h: np.ndarray, tol: float = 1e-5) -> np.ndarray:
+    """Fail loudly if numerical generation degraded (high orders)."""
+    worst = 0.0
+    for m in range(len(h) // 2):
+        ip = float(np.dot(h[: len(h) - 2 * m], h[2 * m :]))
+        worst = max(worst, abs(ip - (1.0 if m == 0 else 0.0)))
+    if not np.isfinite(h).all() or worst > tol:
+        raise ValueError(
+            f"Filter generation for {name!r} lost orthogonality "
+            f"(error {worst:.2e}); supported ranges: db1-20, sym2-16, "
+            "coif1-10."
+        )
+    return h
+
+
 @functools.lru_cache(maxsize=None)
 def get_wavelet(name: str) -> Wavelet:
     """Build a wavelet filter bank by pywt-style name (haar, dbN, symN, coifN)."""
@@ -335,9 +367,9 @@ def get_wavelet(name: str) -> Wavelet:
     if name == "haar":
         return Wavelet("haar", _daubechies(1))
     if name.startswith("db"):
-        return Wavelet(name, _daubechies(int(name[2:])))
+        return Wavelet(name, _validate(name, _daubechies(int(name[2:]))))
     if name.startswith("sym"):
-        return Wavelet(name, _symlet(int(name[3:])))
+        return Wavelet(name, _validate(name, _symlet(int(name[3:]))))
     if name.startswith("coif"):
-        return Wavelet(name, _coiflet(int(name[4:])))
+        return Wavelet(name, _validate(name, _coiflet(int(name[4:]))))
     raise ValueError(f"Unknown or unsupported wavelet: {name!r}")
