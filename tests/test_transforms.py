@@ -264,3 +264,16 @@ class TestBlockNormStats:
         np.testing.assert_allclose(
             stats[0]["std"], all_wp[:, 0, :].std(), rtol=1e-3
         )
+
+
+class TestHighOrderWavelets:
+    def test_extended_orders_stay_orthogonal(self):
+        for name in ("db12", "db16", "db20", "sym12", "sym16", "coif8"):
+            h = get_wavelet(name).rec_lo
+            for m in range(len(h) // 2):
+                ip = np.dot(h[: len(h) - 2 * m], h[2 * m :])
+                assert abs(ip - (1.0 if m == 0 else 0.0)) < 1e-5, (name, m)
+
+    def test_unsupported_order_raises_loudly(self):
+        with pytest.raises(ValueError, match="orthogonality"):
+            get_wavelet("sym20")
