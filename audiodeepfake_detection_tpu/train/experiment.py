@@ -96,6 +96,29 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     return parser
 
 
+def maybe_initialize_distributed() -> tuple:
+    """Multi-host init: the torchrun/c10d-rendezvous replacement.
+
+    On a multi-host TPU slice ``jax.distributed.initialize()`` picks the
+    coordinator from the TPU metadata (reference launches one process per
+    GPU via torchrun, train_classifier.py:44-47 + scripts/train.sh:35-38;
+    here it is one process per host and the mesh covers the slice).
+    Returns (process_index, process_count) for loader sharding.
+    """
+    import jax
+
+    should_init = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("TPU_PROCESS_COUNT", "1") or 1) > 1
+    )
+    if should_init:
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # already initialized / single host
+            print(f"(jax.distributed.initialize skipped: {exc})")
+    return jax.process_index(), jax.process_count()
+
+
 def get_input_dims(args: DotDict, transform) -> list:
     """Probe the transform output shape (reference utils.py:589-621)."""
     t = int(args.seconds * args.sample_rate)
@@ -132,16 +155,21 @@ def create_data_loaders(args: DotDict):
     val_ds = make("val", args.limit_train[1], "D", args.data_path, args.only_use)
     test_ds = make("test", args.limit_train[2], "E", args.data_path, args.only_use)
 
+    import jax
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+    shard_kw = dict(process_index=pidx, process_count=pcount)
     train_loader = FrameLoader(
         train_ds,
         args.batch_size,
         shuffle=True,
         drop_last=True,
         seed=int(args.seed or 0),
+        **shard_kw,
     )
-    val_loader = FrameLoader(val_ds, args.batch_size)
+    val_loader = FrameLoader(val_ds, args.batch_size, **shard_kw)
     test_loader = FrameLoader(
-        test_ds, args.batch_size, include_index=bool(args.get_details)
+        test_ds, args.batch_size, include_index=bool(args.get_details), **shard_kw
     )
 
     cross_loader_val = cross_loader_test = None
@@ -170,9 +198,12 @@ def create_data_loaders(args: DotDict):
             resample_rate=args.sample_rate,
             seconds=args.seconds,
         )
-        cross_loader_val = FrameLoader(cross_val_ds, args.batch_size)
+        cross_loader_val = FrameLoader(cross_val_ds, args.batch_size, **shard_kw)
         cross_loader_test = FrameLoader(
-            cross_test_ds, args.batch_size, include_index=bool(args.get_details)
+            cross_test_ds,
+            args.batch_size,
+            include_index=bool(args.get_details),
+            **shard_kw,
         )
     return train_loader, val_loader, test_loader, cross_loader_val, cross_loader_test
 
@@ -269,6 +300,8 @@ def main(argv=None) -> None:
     parsed = parser.parse_args(argv)
     args = default_config()
     args.update({k: v for k, v in vars(parsed).items()})
+
+    maybe_initialize_distributed()
 
     base_dir = args.log_dir
     for sub in ("models", "tensorboard", "norms"):
