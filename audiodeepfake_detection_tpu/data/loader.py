@@ -55,21 +55,41 @@ class FrameLoader:
         self.target_len = int(dataset.seconds * dataset.resample_rate)
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
+        per_proc = math.ceil(len(self.dataset) / self.process_count)
         if self.drop_last:
-            return n // self.batch_size
-        return math.ceil(n / self.batch_size)
+            return per_proc // self.batch_size
+        return math.ceil(per_proc / self.batch_size)
 
     def _order(self, epoch: int, shuffle: bool) -> np.ndarray:
+        """Per-process index sequence, equal length on EVERY process.
+
+        Multi-host collectives desync if hosts disagree on batch count, so
+        the global order is padded up to ``ceil(n / process_count) *
+        process_count`` before the strided split (the ``DistributedSampler``
+        role, reference train_classifier.py:119-127):
+
+        * ``drop_last`` (training): wrap-pad by repeating the head of the
+          order — every row is genuine, like ``DistributedSampler``'s
+          repeat padding, so the unweighted loss mean stays unbiased;
+        * otherwise (eval): pad with ``-1`` sentinels that become
+          zero-weight rows, so metrics are exact.
+        """
         n = len(self.dataset)
-        idx = np.arange(n)
+        idx = np.arange(n, dtype=np.int64)
         if shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
-        # per-host strided slice (DistributedSampler equivalent)
+        total = math.ceil(n / self.process_count) * self.process_count
+        if total > n:
+            if self.drop_last:
+                pad = idx[: total - n]
+            else:
+                pad = np.full(total - n, -1, dtype=np.int64)
+            idx = np.concatenate([idx, pad])
         return idx[self.process_index :: self.process_count]
 
     def _make_batch(self, indices: np.ndarray, pad_to: int) -> Dict[str, np.ndarray]:
+        indices = indices[indices >= 0]  # drop -1 pad sentinels (zero-weight)
         rows = self.dataset.audio_data[indices]
         paths = [str(r[0]) for r in rows]
         wins = np.asarray([int(r[2]) for r in rows], dtype=np.int64)
@@ -78,7 +98,9 @@ class FrameLoader:
         )
         labels = np.asarray([int(r[3]) for r in rows], dtype=np.int32)
         max_win = int(wins.max()) if len(wins) else self.target_len
-        if any(p.lower().endswith(".flac") for p in paths):
+        if len(paths) == 0:
+            raw = np.zeros((0, max_win), dtype=np.float32)
+        elif any(p.lower().endswith(".flac") for p in paths):
             from .wavio import audio_read
 
             raw = np.zeros((len(paths), max_win), dtype=np.float32)
@@ -103,7 +125,9 @@ class FrameLoader:
         }
         if self.include_index:
             batch["index"] = np.pad(
-                indices.astype(np.int64), (0, pad_to - len(indices))
+                indices.astype(np.int64),
+                (0, pad_to - len(indices)),
+                constant_values=-1,
             )
         return batch
 

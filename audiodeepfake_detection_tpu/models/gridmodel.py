@@ -34,88 +34,96 @@ from .layers import (
 )
 
 
+def _layer_alternatives(element) -> List[Any]:
+    """All alternatives of ONE layer spec, as normalized token lists.
+
+    A spec is a string ``"Conv2d 1 [64,32] 3"`` (bracketed lists mean "one
+    alternative per entry"; all lists in a spec must agree in length) or a
+    ``[wrapper, ..., spec]`` pair whose wrapper object is carried through
+    untouched.  Tokens are normalized to whitespace-free strings.
+    """
+    wrapper = None
+    if isinstance(element, list):
+        wrapper, element = element[0], element[-1]
+    if not isinstance(element, str):
+        raise RuntimeError(f"Model string invalid at {element}.")
+    head, *rest = element.split()
+    tokens: List[Any] = [head] + [ast.literal_eval(tok) for tok in rest]
+    width = next((len(t) for t in tokens if isinstance(t, list)), 1)
+
+    alternatives = []
+    for i in range(width):
+        entry: List[str] = []
+        for tok in tokens:
+            if isinstance(tok, list):
+                if len(tok) != width:
+                    raise RuntimeError(
+                        "Model layers must contain the same amount of "
+                        f"elements. Expected {width}, but got {len(tok)}."
+                    )
+                tok = tok[i]
+            entry.append(str(tok).replace(" ", ""))
+        alternatives.append([wrapper, entry] if wrapper is not None else entry)
+    return alternatives
+
+
 def parse_model_str(model_str: list) -> list:
     """Expand bracketed alternatives into per-variant layer lists.
 
-    Follows the reference's expansion semantics (models.py:875-966): each
-    layer string may contain bracketed lists; all bracketed lists within one
-    layer must have equal length N and produce N variants; single-variant
-    layers are appended to every variant.
+    Expansion semantics match the reference contract (models.py:875-966,
+    verified against it by oracle tests): alternatives are *zipped*, not
+    crossed — variant ``i`` takes the ``i``-th alternative of every
+    multi-alternative layer; single-alternative layers go into every
+    variant; when a layer introduces more variants than currently exist,
+    the new variants start from a snapshot of the last variant's prefix.
     """
-    parsed_output: list = []
+    variants: List[list] = []
     for element in model_str:
-        postfix = None
-        if isinstance(element, list):
-            postfix = element[0]
-            element = element[-1]
-        if not isinstance(element, str):
-            raise RuntimeError(f"Model string invalid at {element}.")
-        split = element.split()
-        element_parts: List[Any] = [ast.literal_eval(p) for p in split[1:]]
-        element_parts.insert(0, split[0])
-
-        output_els = 1
-        for part in element_parts:
-            if isinstance(part, list):
-                output_els = len(part)
-                break
-
-        new_elements = []
-        for i in range(output_els):
-            out_list: List[Any] = []
-            for part in element_parts:
-                if isinstance(part, list):
-                    if output_els != len(part):
-                        raise RuntimeError(
-                            "Model layers must contain the same amount of "
-                            f"elements. Expected {output_els}, but got "
-                            f"{len(part)}."
-                        )
-                    part = part[i]
-                out_list.append(str(part).replace(" ", ""))
-            if postfix is not None:
-                out_list = [postfix, out_list]
-            new_elements.append(out_list)
-
-        last_layer = copy(parsed_output[-1]) if parsed_output else None
-        for i in range(len(new_elements)):
-            if len(parsed_output) == 0:
-                parsed_output = [[new_elements[i]]]
-            elif len(parsed_output) < i + 1:
-                layer = copy(last_layer) if last_layer is not None else []
-                layer = list(layer)
-                layer.append(new_elements[i])
-                parsed_output.append(layer)
+        alternatives = _layer_alternatives(element)
+        if len(alternatives) == 1:
+            if variants:
+                for variant in variants:
+                    variant.append(alternatives[0])
             else:
-                if len(new_elements) == 1:
-                    for part in parsed_output:
-                        part.append(new_elements[i])
-                else:
-                    parsed_output[i].append(new_elements[i])
-    return parsed_output
+                variants = [[alternatives[0]]]
+            continue
+        prefix = copy(variants[-1]) if variants else []
+        for i, alt in enumerate(alternatives):
+            if i < len(variants):
+                variants[i].append(alt)
+            else:
+                variants.append(list(prefix) + [alt])
+    return variants
 
 
 def parse_model(model_data: list) -> list:
-    """Expand every block's layer grid; returns the extended model list."""
-    for i in range(len(model_data)):
-        new_els: List[Any] = []
-        for j in range(len(model_data[i])):
-            trials = parse_model_str(model_data[i][j]["layers"])
-            model_data[i][j]["layers"] = trials[0]
-            if len(trials) > 1:
-                for k in range(1, len(trials)):
-                    if len(new_els) < len(trials) - 1:
-                        config_copy = [dict(part) for part in model_data[i]]
-                        config_copy[j]["layers"] = trials[k]
-                        new_els.append(config_copy)
-                    elif len(new_els) == len(trials) - 1:
-                        new_els[k - 1][j]["layers"] = trials[k]
-                    else:
-                        raise RuntimeError("Parsing error")
-            elif len(new_els) > 0:
-                for k in range(len(new_els)):
-                    new_els[k][j]["layers"] = trials[0]
-        model_data.extend(new_els)
+    """Expand every config's per-block layer grids, in place.
+
+    Each config keeps the first variant of every block; further variants
+    spawn sibling configs which are appended to ``model_data``.  Variant
+    counts are zipped across blocks (mismatched counts beyond the first
+    occurrence raise), matching the reference contract (models.py:850-872,
+    oracle-tested).
+    """
+    for config in list(model_data):
+        siblings: List[list] = []
+        for j, block in enumerate(config):
+            trials = parse_model_str(block["layers"])
+            block["layers"] = trials[0]
+            if len(trials) == 1:
+                for sibling in siblings:
+                    sibling[j]["layers"] = trials[0]
+                continue
+            for k, alt in enumerate(trials[1:]):
+                if len(siblings) < len(trials) - 1:
+                    clone = [dict(b) for b in config]
+                    clone[j]["layers"] = alt
+                    siblings.append(clone)
+                elif len(siblings) == len(trials) - 1:
+                    siblings[k][j]["layers"] = alt
+                else:
+                    raise RuntimeError("Parsing error")
+        model_data.extend(siblings)
     return model_data
 
 

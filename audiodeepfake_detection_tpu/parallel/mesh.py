@@ -58,15 +58,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host batch pytree with the batch axis sharded over the mesh.
 
+    Single-controller: plain ``device_put`` with a batch sharding.  Multi
+    host (``jax.process_count() > 1``): each process passes only its LOCAL
+    slice of the global batch and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the
+    ``DistributedSampler``-fed DDP feeding path of the reference
+    (train_classifier.py:119-127), expressed as data placement.
+
     Batches whose leading dimension is not divisible by the mesh axis size
-    fall back to replication (correct, just not distributed) — the loaders
-    normally pad eval batches to a fixed divisible shape.
+    fall back to replication (correct, just not distributed); this changes
+    batch-norm/gradient batch semantics, so it warns.  The loaders pad
+    batches to a fixed divisible shape, so this should never fire in the
+    training/eval paths.
     """
-    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    n = int(mesh.shape[axis])
+    multihost = jax.process_count() > 1
 
     def place(x):
         if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
-            return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis))
+            sharding = batch_sharding(mesh, np.ndim(x), axis)
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                )
+            return jax.device_put(x, sharding)
+        if np.ndim(x) >= 1:
+            import warnings
+
+            warnings.warn(
+                f"shard_batch: leading dim {np.shape(x)[0]} not divisible by"
+                f" mesh axis '{axis}' ({n}); replicating — batch-norm and"
+                " gradient semantics differ from the sharded path",
+                stacklevel=3,
+            )
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree.map(place, batch)

@@ -87,7 +87,9 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument(
         "--validation-interval", type=int, default=d.validation_interval
     )
-    parser.add_argument("--only-testing", type=bool, default=False)
+    # NB reference uses type=bool here (utils.py), which parses any
+    # non-empty string as True — a footgun, not parity worth keeping.
+    parser.add_argument("--only-testing", action="store_true")
     parser.add_argument("--ckpt-every", type=int, default=d.ckpt_every)
     parser.add_argument("--time-dim-add", type=int, default=d.time_dim_add)
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic

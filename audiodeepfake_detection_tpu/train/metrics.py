@@ -34,6 +34,27 @@ def calculate_eer(y_true: np.ndarray, y_score: np.ndarray) -> float:
     return float(brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0))
 
 
+def safe_eer(y_true: np.ndarray, y_score: np.ndarray, what: str = "eer") -> float:
+    """``calculate_eer`` that degrades to NaN instead of crashing.
+
+    A single-class eval set (e.g. a cross-generator directory that is all
+    fake) makes ``roc_curve`` degenerate and ``brentq`` raise.  The
+    reference crashes there (train_classifier.py:479-481); per-label
+    accuracy is still meaningful, so eval must survive.
+    """
+    y_true = np.asarray(y_true)
+    if y_true.size == 0 or len(np.unique(y_true)) < 2:
+        print(
+            f"warning: {what} undefined (single-class eval set); reporting NaN"
+        )
+        return float("nan")
+    try:
+        return calculate_eer(y_true, y_score)
+    except Exception as exc:
+        print(f"warning: {what} computation failed ({exc}); reporting NaN")
+        return float("nan")
+
+
 def calculate_acc_label(
     count_dict_gathered: List[dict], ok_dict_gathered: List[dict], key: int
 ) -> float:

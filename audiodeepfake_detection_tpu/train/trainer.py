@@ -29,7 +29,7 @@ import numpy as np
 
 from ..parallel.mesh import get_mesh, replicate, shard_batch
 from ..utils.config import DotDict
-from .metrics import calculate_acc_label, calculate_eer, dense_counts_to_dicts
+from .metrics import calculate_acc_label, dense_counts_to_dicts, safe_eer
 from .steps import (
     TrainState,
     create_train_state,
@@ -132,6 +132,7 @@ class Trainer:
         if first is None:
             return
         self.init_state(first)
+        self._maybe_log_model_summary(first)
 
         def chain():
             yield first
@@ -144,7 +145,17 @@ class Trainer:
         # step would serialize dispatch — ~85 ms RTT through the TPU relay);
         # they are gathered once at epoch end.
         pending = []
-        for device_batch in device_prefetch(chain(), self.mesh):
+        steps = device_prefetch(chain(), self.mesh)
+        if self.args.get("pbar"):
+            from tqdm import tqdm
+
+            steps = tqdm(
+                steps,
+                total=len(self.train_loader),
+                desc=f"epoch {epoch + 1}",
+                unit="batch",
+            )
+        for device_batch in steps:
             self.state, stats = self.train_step(self.state, device_batch)
             self.step_total += 1
             timer.step()
@@ -163,6 +174,28 @@ class Trainer:
                 "perf/train_frames_per_sec", timer.frames_per_sec, self.step_total
             )
 
+    def _maybe_log_model_summary(self, example_batch) -> None:
+        """One-time model graph summary to tensorboard.
+
+        TPU-native stand-in for the reference's ``writer.add_graph``
+        (train_classifier.py:994-995): logs the flax module table (layers,
+        shapes, param counts) as text, which is what ``add_graph`` is used
+        for in practice.
+        """
+        if self.writer is None or getattr(self, "_graph_logged", False):
+            return
+        self._graph_logged = True
+        try:
+            import flax.linen as nn
+
+            image = self.transform(jnp.asarray(example_batch["audio"][:2]))
+            table = nn.tabulate(
+                self.model, jax.random.key(0), compute_flops=False
+            )(image, train=False)
+            self.writer.add_text("model/summary", f"```\n{table}\n```", 0)
+        except Exception as exc:
+            print(f"(model summary skipped: {exc})")
+
     def train(self, max_epochs: int) -> None:
         """Epoch loop with the reference's ckpt/validation cadence
         (reference train_classifier.py:1021-1053); resumes from
@@ -172,7 +205,7 @@ class Trainer:
             if (
                 (epoch > 0 and epoch % self.args.ckpt_every == 0)
                 or (epoch == 0 and self.args.ckpt_every == 1)
-                or (epoch == max_epochs)
+                or (epoch == max_epochs - 1)  # final epoch always snapshots
             ):
                 self.save_snapshot(epoch)
             if (epoch > 0 and epoch % self.args.validation_interval == 0) or (
@@ -253,12 +286,11 @@ class Trainer:
             for k in sorted(count_dict)
         ]
         print(f"{name} - ", acc_list)
-        eer = calculate_eer(y_arr, out_arr)  # argmax decisions: parity with
-        # the reference (train_classifier.py:479-481)
-        try:
-            score_eer = calculate_eer(y_arr, score_arr)
-        except Exception:
-            score_eer = float("nan")
+        # argmax decisions: parity with the reference
+        # (train_classifier.py:479-481); NaN instead of a crash on
+        # degenerate (single-class) eval sets.
+        eer = safe_eer(y_arr, out_arr, what=f"{name} eer")
+        score_eer = safe_eer(y_arr, score_arr, what=f"{name} score-eer")
         val_acc = float(ok_label.sum() / max(count_label.sum(), 1.0))
         print(
             f"{name} - eer: {eer:2.4f} (score eer: {score_eer:2.4f}), "

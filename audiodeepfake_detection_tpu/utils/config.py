@@ -17,7 +17,6 @@ Parity targets (reference: src/audiofakedetect/utils.py):
 from __future__ import annotations
 
 import importlib.util
-import itertools
 import json
 import random
 from typing import Any, Dict, List, Optional
@@ -115,7 +114,16 @@ def default_config() -> DotDict:
 
 
 class Griderator:
-    """Cartesian grid iterator with the reference's stepping semantics."""
+    """Cartesian sweep over a dict-of-lists config, seeds as the first axis.
+
+    Sweep semantics match the reference driver contract (utils.py:482-562):
+    ``update_step`` applies the *current* grid point to the args and then
+    advances, returning ``StopIteration`` (the class itself, not an
+    instance) once the final point has been applied.  Internally the grid
+    is a mixed-radix counter over the config axes — points are decoded
+    from an integer index on demand rather than materialized up front, so
+    huge sweeps cost nothing until visited.
+    """
 
     def __init__(
         self,
@@ -127,41 +135,55 @@ class Griderator:
             raise TypeError(
                 f"Config file must be of type dict but is {type(config)}."
             )
-        self.init_config: Dict[str, Any] = {}
         if init_seeds is None:
             rand = random.SystemRandom()
-            self.init_config = {
-                "seed": [rand.randrange(10000) for _ in range(num_exp)]
-            }
+            seeds = [rand.randrange(10000) for _ in range(num_exp)]
         else:
-            self.init_config = {"seed": list(init_seeds)}
-        self.init_config.update(config)
-        self.grid_values = list(itertools.product(*self.init_config.values()))
+            seeds = list(init_seeds)
+        self.init_config: Dict[str, Any] = {"seed": seeds, **config}
+        self._axes: List[List[Any]] = [
+            list(v) for v in self.init_config.values()
+        ]
         self.current = 0
+
+    def _point(self, index: int) -> tuple:
+        """Decode grid point ``index`` (row-major, last axis fastest)."""
+        coords: List[Any] = []
+        for values in reversed(self._axes):
+            index, digit = divmod(index, len(values))
+            coords.append(values[digit])
+        return tuple(reversed(coords))
+
+    @property
+    def grid_values(self) -> List[tuple]:
+        return [self._point(i) for i in range(self.get_len())]
 
     def get_keys(self):
         return self.init_config.keys()
 
     def get_len(self) -> int:
-        return len(self.grid_values)
+        n = 1
+        for values in self._axes:
+            n *= len(values)
+        return n
 
     def __iter__(self):
         return self
 
-    def __next__(self):
+    def __next__(self) -> tuple:
         self.current += 1
-        if self.current < len(self.grid_values):
-            return self.grid_values[self.current]
-        raise StopIteration
+        if self.current >= self.get_len():
+            raise StopIteration
+        return self._point(self.current)
 
-    def next(self):
+    def next(self) -> tuple:
         return self.__next__()
 
     def reset(self) -> None:
         self.current = 0
 
     def update_args(self, args: DotDict) -> DotDict:
-        for value, key in zip(self.grid_values[self.current], self.get_keys()):
+        for key, value in zip(self.get_keys(), self._point(self.current)):
             args[key] = value
         return args
 
@@ -169,10 +191,9 @@ class Griderator:
         """Apply current grid values to args, then advance one step."""
         new_args = self.update_args(args)
         try:
-            new_step = self.__next__()
+            return new_args, self.__next__()
         except StopIteration:
             return new_args, StopIteration
-        return new_args, new_step
 
 
 def build_new_grid(

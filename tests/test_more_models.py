@@ -45,6 +45,56 @@ class TestGridModelParser:
         with pytest.raises(RuntimeError):
             parse_model_str(["Conv2d 1 [64,32] [3,5,7] 1 2"])
 
+    # A battery of specs exercising the expansion semantics: multi-variant
+    # first layer, zipped multi-variant layers, growing/shrinking variant
+    # counts, and wrapped ([module, "spec"]) entries.
+    _STR_CASES = [
+        ["Conv2d 1 8 3"],
+        ["Conv2d 1 [8,16] 3"],
+        ["Conv2d [1,2,3] 8 3", "ReLU", "Linear [10,20,30] 2"],
+        ["ReLU", "Conv2d 1 [8,16] 3 [1,2] 0", "MaxPool2d 2 2"],
+        ["Conv2d 1 [8,16] 3", "Conv2d [8,16,32] 4 3"],  # grows 2 -> 3
+        ["Conv2d 1 [8,16,32] 3", "Linear [1,2] 2"],  # shrinks 3 -> 2
+        [["W", "Permute 0,2,1,3"], "Conv2d 1 [8,16] 3"],
+    ]
+
+    def test_parse_model_str_matches_reference(self):
+        from reference_oracle import load_reference_models
+
+        ref = load_reference_models()
+        if ref is None:
+            pytest.skip("reference checkout unavailable")
+        for case in self._STR_CASES:
+            ours = parse_model_str([list(e) if isinstance(e, list) else e for e in case])
+            theirs = ref.parse_model_str(
+                [list(e) if isinstance(e, list) else e for e in case]
+            )
+            assert ours == theirs, f"divergence for {case}"
+
+    def test_parse_model_matches_reference(self):
+        from audiodeepfake_detection_tpu.models.gridmodel import parse_model
+
+        from reference_oracle import load_reference_models
+
+        ref = load_reference_models()
+        if ref is None:
+            pytest.skip("reference checkout unavailable")
+
+        def model_data():
+            return [
+                [
+                    {"layers": ["Conv2d 1 [8,16] 3", "ReLU"], "input_shape": (1, 4)},
+                    {"layers": ["Linear [4,8] 2"], "transforms": ["t"]},
+                ],
+                [
+                    {"layers": ["Conv2d 1 4 3"]},
+                ],
+            ]
+
+        ours = parse_model(model_data())
+        theirs = ref.parse_model(model_data())
+        assert ours == theirs
+
     def test_gridmodel_forward(self):
         model_data = [
             [

@@ -80,3 +80,27 @@ class TestEER:
         pred = np.array([0] * 40 + [1] * 10 + [1] * 45 + [0] * 5)
         eer = calculate_eer(y, pred)
         assert 0.0 < eer < 0.5
+
+
+class TestSafeEER:
+    def test_single_class_reports_nan(self, capsys):
+        from audiodeepfake_detection_tpu.train.metrics import safe_eer
+
+        # an all-fake cross-generator eval dir is a legitimate input; the
+        # reference crashes inside roc_curve/brentq here
+        y = np.ones(16, dtype=int)
+        s = np.random.RandomState(0).rand(16)
+        assert np.isnan(safe_eer(y, s))
+        assert "undefined" in capsys.readouterr().out
+
+    def test_empty_reports_nan(self):
+        from audiodeepfake_detection_tpu.train.metrics import safe_eer
+
+        assert np.isnan(safe_eer(np.zeros(0), np.zeros(0)))
+
+    def test_well_defined_matches_calculate_eer(self):
+        from audiodeepfake_detection_tpu.train.metrics import safe_eer
+
+        y = np.array([0, 0, 1, 1])
+        s = np.array([0.1, 0.2, 0.8, 0.9])
+        assert safe_eer(y, s) == pytest.approx(calculate_eer(y, s))
