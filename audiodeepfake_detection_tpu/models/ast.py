@@ -41,14 +41,39 @@ def ast_patch_grid(
     return f_dim, t_dim
 
 
+class _DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample
+    (timm drop_path; present in the reference's timm-0.4.5 blocks)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(
+            rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+        return x * mask.astype(x.dtype) / keep
+
+
 class _Block(nn.Module):
     embed_dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    # timm-0.4.5 DeiT defaults: all dropout rates 0 — the hooks exist so
+    # training configs can enable them, exactly like the reference backbone
+    # (timm Block: attn_drop / proj drop / mlp drop / drop_path).
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        drop_path = _DropPath(self.drop_path_rate, name="drop_path")
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
         b, n, d = h.shape
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(h)
@@ -58,14 +83,18 @@ class _Block(nn.Module):
             "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.DEFAULT
         ) / math.sqrt(d // self.num_heads)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop_rate, deterministic=not train)(attn)
         h = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
         h = nn.Dense(d, name="proj", dtype=self.dtype)(h)
-        x = x + h
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        x = x + drop_path(h, train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
         h = nn.Dense(int(d * self.mlp_ratio), name="fc1", dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         h = nn.Dense(d, name="fc2", dtype=self.dtype)(h)
-        return x + h
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        return x + drop_path(h, train)
 
 
 class ASTModel(nn.Module):
@@ -77,6 +106,9 @@ class ASTModel(nn.Module):
     input_fdim: int = 256
     input_tdim: int = 101
     model_size: str = "base384"
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
     dtype: Any = None
 
     @nn.compact
@@ -112,8 +144,21 @@ class ASTModel(nn.Module):
             [jnp.tile(cls, (b, 1, 1)), jnp.tile(dist, (b, 1, 1)), h], axis=1
         )
         h = h + pos
+        # reference forward applies the backbone's pos_drop here
+        # (models.py:690; timm drop_rate, 0 by default)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        # stochastic depth scales linearly over depth, the timm rule
         for i in range(cfg["depth"]):
-            h = _Block(d, cfg["num_heads"], name=f"block_{i}", dtype=self.dtype)(h)
+            dp = self.drop_path_rate * i / max(cfg["depth"] - 1, 1)
+            h = _Block(
+                d,
+                cfg["num_heads"],
+                drop_rate=self.drop_rate,
+                attn_drop_rate=self.attn_drop_rate,
+                drop_path_rate=dp,
+                name=f"block_{i}",
+                dtype=self.dtype,
+            )(h, train=train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
         h = (h[:, 0] + h[:, 1]) / 2.0
         h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
@@ -142,8 +187,22 @@ def import_timm_deit(
     d = cfg["embed_dim"]
     f_dim, t_dim = ast_patch_grid(fstride, tstride, input_fdim, input_tdim)
 
+    # A trained reference AST snapshot prefixes the backbone with "v."
+    # (self.v, models.py:548-565) and possibly "module." from DDP wrapping;
+    # a raw timm DeiT state dict has neither.  Normalize to timm layout.
+    def strip(key: str) -> str:
+        while key.startswith("module."):  # DDP saves wrap twice
+            key = key[len("module."):]
+        if key.startswith("v."):
+            key = key[len("v."):]
+        return key
+
+    state = {strip(k): v for k, v in state.items()}
+
     params: dict = {}
-    # patch embedding: torch conv [D, 3, 16, 16] -> sum ch -> flax [16,16,1,D]
+    # patch embedding: torch conv [D, C, 16, 16] -> sum ch -> flax [16,16,1,D]
+    # (a reference snapshot's conv is already single-channel; summing is
+    # then the identity)
     w = np.asarray(state["patch_embed.proj.weight"]).sum(1, keepdims=True)
     params["patch_proj"] = {
         "kernel": np.transpose(w, (2, 3, 1, 0)),
@@ -154,23 +213,28 @@ def import_timm_deit(
 
     pos = np.asarray(state["pos_embed"])  # [1, 2 + P, D]
     orig_p = pos.shape[1] - 2
-    hw = int(math.isqrt(orig_p))
-    grid = pos[:, 2:].reshape(1, hw, hw, d)
-    # time axis: cut from the middle or interpolate
-    if t_dim <= hw:
-        start = hw // 2 - t_dim // 2
-        grid = grid[:, :, start : start + t_dim]
+    if orig_p == f_dim * t_dim:
+        # already surgically adapted (a trained reference AST snapshot)
+        params["pos_embed"] = pos
     else:
-        grid = jax.image.resize(grid, (1, hw, t_dim, d), "bilinear")
-    if f_dim <= hw:
-        start = hw // 2 - f_dim // 2
-        grid = grid[:, start : start + f_dim]
-    else:
-        grid = jax.image.resize(grid, (1, f_dim, t_dim, d), "bilinear")
-    new_pos = np.concatenate(
-        [pos[:, :2], np.asarray(grid).reshape(1, f_dim * t_dim, d)], axis=1
-    )
-    params["pos_embed"] = new_pos
+        hw = int(math.isqrt(orig_p))
+        grid = pos[:, 2:].reshape(1, hw, hw, d)
+        # time axis: cut from the middle or interpolate
+        # (reference models.py:612-631; torch interpolate(bilinear,
+        # align_corners=False) == jax.image.resize "bilinear")
+        if t_dim <= hw:
+            start = hw // 2 - t_dim // 2
+            grid = grid[:, :, start : start + t_dim]
+        else:
+            grid = jax.image.resize(grid, (1, hw, t_dim, d), "bilinear")
+        if f_dim <= hw:
+            start = hw // 2 - f_dim // 2
+            grid = grid[:, start : start + f_dim]
+        else:
+            grid = jax.image.resize(grid, (1, f_dim, t_dim, d), "bilinear")
+        params["pos_embed"] = np.concatenate(
+            [pos[:, :2], np.asarray(grid).reshape(1, f_dim * t_dim, d)], axis=1
+        )
 
     for i in range(cfg["depth"]):
         pre = f"blocks.{i}."
@@ -204,4 +268,18 @@ def import_timm_deit(
         "scale": np.asarray(state["norm.weight"]),
         "bias": np.asarray(state["norm.bias"]),
     }
+    # classification head: the reference's fresh mlp_head
+    # (LayerNorm + Linear, models.py:572-575) — present in trained AST
+    # snapshots, absent from raw timm dicts (timm's ImageNet "head"/
+    # "head_dist" have the wrong output dim and are discarded, like the
+    # reference discards them by building mlp_head anew).
+    if "mlp_head.0.weight" in state:
+        params["head_norm"] = {
+            "scale": np.asarray(state["mlp_head.0.weight"]),
+            "bias": np.asarray(state["mlp_head.0.bias"]),
+        }
+        params["head"] = {
+            "kernel": np.asarray(state["mlp_head.1.weight"]).T,
+            "bias": np.asarray(state["mlp_head.1.bias"]),
+        }
     return {"params": params}

@@ -13,10 +13,192 @@ from audiodeepfake_detection_tpu.models.gridmodel import (
 from audiodeepfake_detection_tpu.utils.config import DotDict
 
 
+def _timm_state(d=192, depth=12, hw=14, rng=None):
+    """A random state dict in timm-0.4.5 DeiT-distilled layout."""
+    rng = rng or np.random.RandomState(0)
+    state = {
+        "cls_token": rng.randn(1, 1, d).astype(np.float32),
+        "dist_token": rng.randn(1, 1, d).astype(np.float32),
+        "pos_embed": rng.randn(1, 2 + hw * hw, d).astype(np.float32),
+        "patch_embed.proj.weight": rng.randn(d, 3, 16, 16).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+        "norm.weight": rng.randn(d).astype(np.float32),
+        "norm.bias": rng.randn(d).astype(np.float32),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        state.update(
+            {
+                p + "norm1.weight": rng.randn(d).astype(np.float32),
+                p + "norm1.bias": rng.randn(d).astype(np.float32),
+                p + "attn.qkv.weight": rng.randn(3 * d, d).astype(np.float32),
+                p + "attn.qkv.bias": rng.randn(3 * d).astype(np.float32),
+                p + "attn.proj.weight": rng.randn(d, d).astype(np.float32),
+                p + "attn.proj.bias": rng.randn(d).astype(np.float32),
+                p + "norm2.weight": rng.randn(d).astype(np.float32),
+                p + "norm2.bias": rng.randn(d).astype(np.float32),
+                p + "mlp.fc1.weight": rng.randn(4 * d, d).astype(np.float32),
+                p + "mlp.fc1.bias": rng.randn(4 * d).astype(np.float32),
+                p + "mlp.fc2.weight": rng.randn(d, 4 * d).astype(np.float32),
+                p + "mlp.fc2.bias": rng.randn(d).astype(np.float32),
+            }
+        )
+    return state
+
+
+def _reference_pos_surgery(pos, d, hw, f_dim, t_dim):
+    """torch oracle for the reference's pos-embed surgery
+    (models.py:598-651): reshape to [1, d, hw, hw], cut-from-middle or
+    bilinearly interpolate time then freq, flatten, re-prepend tokens."""
+    import torch
+    import torch.nn.functional as F
+
+    pos_t = torch.from_numpy(pos)
+    grid = (
+        pos_t[:, 2:].reshape(1, hw * hw, d).transpose(1, 2).reshape(1, d, hw, hw)
+    )
+    if t_dim <= hw:
+        s = int(hw / 2) - int(t_dim / 2)
+        grid = grid[:, :, :, s : s + t_dim]
+    else:
+        grid = F.interpolate(grid, size=(hw, t_dim), mode="bilinear")
+    if f_dim <= hw:
+        s = int(hw / 2) - int(f_dim / 2)
+        grid = grid[:, :, s : s + f_dim, :]
+    else:
+        grid = F.interpolate(grid, size=(f_dim, t_dim), mode="bilinear")
+    flat = grid.reshape(1, d, f_dim * t_dim).transpose(1, 2)
+    return torch.cat([pos_t[:, :2], flat], dim=1).numpy()
+
+
 class TestAST:
     def test_patch_grid(self):
         # reference get_shape: (256, 101) with stride 10 -> 25 x 9 patches
         assert ast_patch_grid(10, 10, 256, 101) == (25, 9)
+
+    def test_surgery_cut_path_matches_torch(self):
+        from audiodeepfake_detection_tpu.models.ast import import_timm_deit
+
+        state = _timm_state()
+        # stride 16 on 64x64 -> 4x4 patches: both axes cut from the middle
+        out = import_timm_deit(
+            state, fstride=16, tstride=16, input_fdim=64, input_tdim=64,
+            model_size="tiny224",
+        )["params"]
+        oracle = _reference_pos_surgery(state["pos_embed"], 192, 14, 4, 4)
+        np.testing.assert_allclose(out["pos_embed"], oracle, rtol=1e-6)
+
+    def test_surgery_interp_path_matches_torch(self):
+        from audiodeepfake_detection_tpu.models.ast import import_timm_deit
+
+        state = _timm_state()
+        # the reference's headline geometry: (256, 101) stride 10 -> 25x9;
+        # freq axis interpolates (25 > 14), time axis cuts (9 <= 14)
+        out = import_timm_deit(
+            state, fstride=10, tstride=10, input_fdim=256, input_tdim=101,
+            model_size="tiny224",
+        )["params"]
+        oracle = _reference_pos_surgery(state["pos_embed"], 192, 14, 25, 9)
+        np.testing.assert_allclose(
+            out["pos_embed"], oracle, rtol=2e-5, atol=1e-5
+        )
+
+    def test_surgery_channel_sum_and_forward(self):
+        from audiodeepfake_detection_tpu.models.ast import import_timm_deit
+
+        state = _timm_state()
+        variables = import_timm_deit(
+            state, fstride=16, tstride=16, input_fdim=64, input_tdim=64,
+            model_size="tiny224",
+        )
+        np.testing.assert_allclose(
+            variables["params"]["patch_proj"]["kernel"][..., 0, :],
+            np.transpose(
+                np.asarray(state["patch_embed.proj.weight"]).sum(1), (1, 2, 0)
+            ),
+            rtol=1e-6,
+        )
+        # imported backbone + freshly initialized head runs
+        model = ASTModel(
+            model_size="tiny224", input_fdim=64, input_tdim=64,
+            fstride=16, tstride=16,
+        )
+        x = np.random.RandomState(1).randn(2, 1, 64, 64).astype(np.float32)
+        init = model.init(jax.random.key(0), x)["params"]
+        params = dict(variables["params"])
+        params["head_norm"] = init["head_norm"]
+        params["head"] = init["head"]
+        out = np.asarray(model.apply({"params": params}, x))
+        assert out.shape == (2, 2) and np.isfinite(out).all()
+
+    def test_import_reference_snapshot_layout(self):
+        """A trained reference AST snapshot: DDP 'module.module.' + 'v.'
+        backbone prefixes, already-surgered pos_embed, and the mlp_head."""
+        from audiodeepfake_detection_tpu.models.ast import import_timm_deit
+
+        rng = np.random.RandomState(2)
+        d, f_dim, t_dim = 192, 4, 4
+        base = _timm_state()
+        snap = {}
+        for k, v in base.items():
+            if k == "pos_embed":
+                v = rng.randn(1, 2 + f_dim * t_dim, d).astype(np.float32)
+            if k == "patch_embed.proj.weight":
+                v = rng.randn(d, 1, 16, 16).astype(np.float32)
+            snap["module.module.v." + k] = v
+        snap["module.module.mlp_head.0.weight"] = rng.randn(d).astype(np.float32)
+        snap["module.module.mlp_head.0.bias"] = rng.randn(d).astype(np.float32)
+        snap["module.module.mlp_head.1.weight"] = rng.randn(2, d).astype(np.float32)
+        snap["module.module.mlp_head.1.bias"] = rng.randn(2).astype(np.float32)
+
+        variables = import_timm_deit(
+            snap, fstride=16, tstride=16, input_fdim=64, input_tdim=64,
+            model_size="tiny224",
+        )
+        p = variables["params"]
+        # pos embed passes through untouched (already adapted)
+        np.testing.assert_array_equal(
+            p["pos_embed"], snap["module.module.v.pos_embed"]
+        )
+        # head imported, Linear weight transposed to flax kernel layout
+        np.testing.assert_array_equal(
+            p["head"]["kernel"], snap["module.module.mlp_head.1.weight"].T
+        )
+        model = ASTModel(
+            model_size="tiny224", input_fdim=64, input_tdim=64,
+            fstride=16, tstride=16,
+        )
+        x = np.random.RandomState(3).randn(2, 1, 64, 64).astype(np.float32)
+        out = np.asarray(model.apply(variables, x))
+        assert out.shape == (2, 2) and np.isfinite(out).all()
+
+    def test_dropout_and_droppath_train_mode(self):
+        model = ASTModel(
+            model_size="tiny224", input_fdim=32, input_tdim=32,
+            drop_rate=0.2, drop_path_rate=0.3,
+        )
+        x = np.random.RandomState(0).randn(4, 1, 32, 32).astype(np.float32)
+        variables = model.init(jax.random.key(0), x)
+        eval_out = np.asarray(model.apply(variables, x, train=False))
+        train_out = np.asarray(
+            model.apply(
+                variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+            )
+        )
+        assert np.isfinite(train_out).all()
+        assert not np.allclose(eval_out, train_out)
+        # rates 0 (the timm DeiT default) keep train == eval
+        model0 = ASTModel(model_size="tiny224", input_fdim=32, input_tdim=32)
+        v0 = model0.init(jax.random.key(0), x)
+        np.testing.assert_allclose(
+            np.asarray(model0.apply(v0, x, train=False)),
+            np.asarray(
+                model0.apply(
+                    v0, x, train=True, rngs={"dropout": jax.random.key(1)}
+                )
+            ),
+            rtol=1e-6,
+        )
 
     def test_tiny_forward(self):
         model = ASTModel(model_size="tiny224", input_fdim=64, input_tdim=32)
