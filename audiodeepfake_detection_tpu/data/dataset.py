@@ -110,6 +110,7 @@ class CustomDataset:
         self.key = key
         self.resample_rate = resample_rate
         self.seconds = seconds
+        self.save_path = save_path
 
     @staticmethod
     def _build_index(

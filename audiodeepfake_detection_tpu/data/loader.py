@@ -41,6 +41,8 @@ class FrameLoader:
         process_index: int = 0,
         process_count: int = 1,
         prefetch: int = 2,
+        use_frame_cache: Optional[bool] = None,
+        emit: str = "float32",
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +55,20 @@ class FrameLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.target_len = int(dataset.seconds * dataset.resample_rate)
+        # emit="int16" ships raw PCM batches (scale 1/32768) for on-device
+        # conversion — the jitted steps fuse it into the transform for free
+        if emit not in ("float32", "int16"):
+            raise ValueError(f"emit must be float32 or int16, got {emit}")
+        self.emit = emit
+        # pre-decoded frame cache: None = auto (use it if present),
+        # True = build if missing, False = always decode
+        self._frame_cache = None
+        if use_frame_cache is not False and getattr(dataset, "save_path", None):
+            from .frame_cache import build_frame_cache, open_frame_cache
+
+            if use_frame_cache:
+                build_frame_cache(dataset, num_threads=num_threads)
+            self._frame_cache = open_frame_cache(dataset)
 
     def __len__(self) -> int:
         per_proc = math.ceil(len(self.dataset) / self.process_count)
@@ -90,6 +106,30 @@ class FrameLoader:
 
     def _make_batch(self, indices: np.ndarray, pad_to: int) -> Dict[str, np.ndarray]:
         indices = indices[indices >= 0]  # drop -1 pad sentinels (zero-weight)
+        if self._frame_cache is not None:
+            from .frame_cache import decode_frames, gather_frames_int16
+
+            n = len(indices)
+            labels = self.dataset.audio_data[indices, 3].astype(np.int32)
+            dtype = np.int16 if self.emit == "int16" else np.float32
+            audio = np.empty((pad_to, self.target_len), dtype=dtype)
+            if self.emit == "int16":
+                gather_frames_int16(self._frame_cache, indices, out=audio[:n])
+            else:
+                decode_frames(self._frame_cache, indices, out=audio[:n])
+            audio[n:] = 0
+            batch = {
+                "audio": audio[:, None, :],
+                "label": np.pad(labels, (0, pad_to - n)),
+                "weight": np.pad(np.ones(n, np.float32), (0, pad_to - n)),
+            }
+            if self.include_index:
+                batch["index"] = np.pad(
+                    indices.astype(np.int64),
+                    (0, pad_to - n),
+                    constant_values=-1,
+                )
+            return batch
         rows = self.dataset.audio_data[indices]
         paths = [str(r[0]) for r in rows]
         wins = np.asarray([int(r[2]) for r in rows], dtype=np.int64)
@@ -116,6 +156,8 @@ class FrameLoader:
             if src_rate > self.dataset.resample_rate:
                 clip = resample(clip, src_rate, self.dataset.resample_rate)
             audio[i, : min(len(clip), self.target_len)] = clip[: self.target_len]
+        if self.emit == "int16":
+            audio = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
         batch = {
             "audio": audio[:, None, :],  # [B, 1, T] like torchaudio.load
             "label": np.pad(labels, (0, pad_to - len(labels))),
@@ -147,9 +189,15 @@ class FrameLoader:
     def epoch(
         self, epoch: int = 0, shuffle: Optional[bool] = None
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield one epoch of batches, decoded ahead by a prefetch thread."""
+        """Yield one epoch of batches, decoded ahead by a prefetch thread.
+
+        The thread pays off only when the producer releases the GIL for
+        real work (the C++ decoder); a warm frame cache serves batches in
+        ~2 ms, where thread handoff would dominate (measured ~10x slowdown
+        on a one-core host), so cached epochs run inline.
+        """
         shuffle = self.shuffle if shuffle is None else shuffle
-        if self.prefetch <= 0:
+        if self.prefetch <= 0 or self._frame_cache is not None:
             yield from self._batches(epoch, shuffle)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

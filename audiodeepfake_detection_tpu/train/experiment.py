@@ -93,6 +93,7 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--ckpt-every", type=int, default=d.ckpt_every)
     parser.add_argument("--time-dim-add", type=int, default=d.time_dim_add)
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
+    parser.add_argument("--frame-cache", action="store_true")
     parser.add_argument("--only-ig", action="store_true")
     parser.add_argument("--config", type=str, default=None)
     return parser
@@ -160,7 +161,15 @@ def create_data_loaders(args: DotDict):
     import jax
 
     pidx, pcount = jax.process_index(), jax.process_count()
-    shard_kw = dict(process_index=pidx, process_count=pcount)
+    shard_kw = dict(
+        process_index=pidx,
+        process_count=pcount,
+        # True builds the pre-decoded frame cache up front; None only
+        # uses one that already exists (data/frame_cache.py).  With the
+        # cache on, batches ship as raw int16 PCM (on-device conversion).
+        use_frame_cache=True if args.frame_cache else None,
+        emit="int16" if args.frame_cache else "float32",
+    )
     train_loader = FrameLoader(
         train_ds,
         args.batch_size,

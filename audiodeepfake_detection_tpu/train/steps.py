@@ -28,6 +28,18 @@ from ..ops.audio import augment
 MAX_LABELS = 32  # dense per-label metric vector size (labels are A..N -> <14)
 
 
+def audio_to_float(audio: jnp.ndarray) -> jnp.ndarray:
+    """Accept float audio or raw int16 PCM (scale 1/32768) batches.
+
+    Loaders may ship int16 to halve host traffic and H2D bytes
+    (data/loader.py ``emit="int16"``); inside the jitted step XLA fuses
+    this conversion into the transform's first op for free.
+    """
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        return audio.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return audio
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -78,7 +90,7 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, aug_rng, dropout_rng = jax.random.split(state.rng, 3)
-        audio = batch["audio"]
+        audio = audio_to_float(batch["audio"])
         labels = (batch["label"] != 0).astype(jnp.int32)
         if aug_contrast or aug_noise:
             audio = augment(aug_rng, audio, aug_contrast, aug_noise)
@@ -129,7 +141,7 @@ def make_eval_step(
     """
 
     def eval_step(params, batch_stats, batch):
-        audio = batch["audio"]
+        audio = audio_to_float(batch["audio"])
         labels = batch["label"].astype(jnp.int32)
         weight = batch.get("weight")
         if weight is None:

@@ -110,6 +110,7 @@ def default_config() -> DotDict:
         data_path=None,
         dtype="float32",
         fused_layer1=False,
+        frame_cache=False,
     )
 
 
