@@ -94,6 +94,42 @@ class TestNaming:
             "fbmelgan_1secs_0"
         )
 
+    def test_parity_run_config_reproduces_bundled_names(self):
+        """configs/parity_run.py grid points name their snapshots exactly
+        like the bundled reference checkpoints (VERDICT r1 item 9)."""
+        import os
+
+        from audiodeepfake_detection_tpu.utils.config import (
+            build_new_grid,
+            load_grid_config,
+        )
+
+        cfg_path = os.path.join(
+            os.path.dirname(__file__), "..", "configs", "parity_run.py"
+        )
+        grid = build_new_grid(load_grid_config(cfg_path), seeds=[0])
+        names = []
+        args = default_config()
+        for _ in range(grid.get_len()):
+            args, _ = grid.update_step(args)
+            names.append(
+                experiment_model_file(args, ".", "DCNN").split("/")[-1] + ".pt"
+            )
+        bundled = [
+            "model_packetssym5_none_220_22050_22050_256_1-11025_0.7_0.0004"
+            "_0.001_128_2_10e_DCNN_signsFalse_augcFalse_augnFalse_power2.0"
+            "_fbmelgan_1secs_0.pt",
+            "model_packetscoif4_none_220_22050_22050_256_1-11025_0.7_0.0004"
+            "_0.001_128_2_10e_DCNN_signsFalse_augcFalse_augnFalse_power2.0"
+            "_fbmelgan_1secs_0.pt",
+        ]
+        assert names == bundled
+        # and they decode identically to the reference's own bundled files
+        ref_dir = "/root/reference/models"
+        if os.path.isdir(ref_dir):
+            for n in bundled:
+                assert os.path.exists(os.path.join(ref_dir, n))
+
 
 class TestAugmentations:
     def test_contrast_preserves_shape(self):
