@@ -114,7 +114,18 @@ class DCNN(nn.Module):
                 alpha.reshape(1).astype(x.dtype),
             )
         else:
-            x = Conv2d(self.ochannels1, self.kernel1, padding=2, name="cnn_0")(x)
+            # first conv via the bandwidth-lean custom VJP: XLA's default
+            # transpose reverses the full 410 MB gradient tensor
+            # (ops/first_conv.py); the params keep the Conv2d tree layout
+            from ..ops.first_conv import first_conv
+
+            k1 = self.kernel1
+            kernel, bias = _ConvScope(
+                (k1, k1, x.shape[-1], self.ochannels1), name="cnn_0"
+            )()
+            x = first_conv(
+                x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
+            )
             x = PReLU(name="cnn_1")(x)
             x = max_pool_2x2(x)
         x = BatchNorm(affine=False, name="cnn_3")(x, train)

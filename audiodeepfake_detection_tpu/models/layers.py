@@ -124,9 +124,13 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Torch MaxPool2d(2, 2) (floor mode) on NHWC.
 
     ``reduce_window`` on purpose: its backward is TPU ``select-and-scatter``
-    (~2.8 ms/step in the fused train step), but the crop+reshape+max
-    alternative measured *slower* overall (22.2 vs 17.0 ms/step) because its
-    slice/reshape gradients materialize pads and break XLA fusions.
+    (~2.8 ms/step in the fused train step) but every structural alternative
+    measured SLOWER end-to-end (docs/benchmarks.md negative results):
+    crop+reshape-max forward 22.2 ms, phase-mask interleave VJP 26.1 ms,
+    and a block-view first-max-mask custom VJP (exact tie-break parity,
+    kept under test in tests/test_first_conv.py) 19.9 vs 14.7 ms — the
+    stack/moveaxis interleave materializes relaid-out copies of the 410 MB
+    layer-1 tensor that XLA's select-and-scatter never needs.
     """
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
