@@ -57,6 +57,60 @@ class _AlphaScope(nn.Module):
         return self.param("alpha", lambda key: jnp.asarray(0.25, "float32"))
 
 
+def _folded_bn_conv(
+    parent,
+    x: jnp.ndarray,
+    train: bool,
+    *,
+    bn_name: str,
+    conv_name: str,
+    affine: bool,
+    features: int,
+    kernel_size: int,
+    padding: int,
+    dilation: int,
+    precision,
+) -> jnp.ndarray:
+    """``conv(BN(x))`` with the normalisation folded into the conv weights.
+
+    BN is per-channel affine, ``BN(x) = x*s + t``, so
+    ``conv_pad(BN(x)) = conv_pad(x, w*s) + conv_pad(t*1, w)`` — the second
+    term is a batch-1 convolution of the constant map (it differs from a
+    plain bias only near padded borders).  This skips materialising the
+    normalised tensor entirely (hundreds of MB per step across the five CNN
+    norms); statistics/running updates and gradients are unchanged
+    (identical math, different schedule).  Param/batch-stats trees match
+    the unfused ``BatchNorm`` + ``Conv2d`` exactly.
+    """
+    import jax
+    from jax import lax
+
+    from .layers import BatchNormStats
+
+    s, t = BatchNormStats(affine=affine, name=bn_name)(x, train)
+    cin = x.shape[-1]
+    kernel, bias = _ConvScope(
+        (kernel_size, kernel_size, cin, features), name=conv_name
+    )()
+    dt = x.dtype
+    dn = ("NHWC", "HWIO", "NHWC")
+    pad = [(padding, padding), (padding, padding)]
+    dil = (dilation, dilation)
+    w_folded = (kernel * s[None, None, :, None]).astype(dt)
+    y = lax.conv_general_dilated(
+        x, w_folded, (1, 1), pad, rhs_dilation=dil,
+        dimension_numbers=dn, precision=precision,
+    )
+    t_map = jnp.broadcast_to(
+        t.astype(dt), (1, x.shape[1], x.shape[2], cin)
+    )
+    const = lax.conv_general_dilated(
+        t_map, kernel.astype(dt), (1, 1), pad, rhs_dilation=dil,
+        dimension_numbers=dn, precision=precision,
+    )
+    return y + const + bias.astype(dt)
+
+
 class DCNN(nn.Module):
     """Deep CNN with dilated convolutions (reference models.py:240-317)."""
 
@@ -76,6 +130,9 @@ class DCNN(nn.Module):
     with_dilation: bool = True
     dtype: Any = None
     precision: Any = None  # None -> fp32-exact (HIGHEST); "default" -> bf16 MXU passes
+    # Fold each BatchNorm into its following conv (identical math, skips
+    # materialising the normalised tensors; see _folded_bn_conv).
+    fold_bn: bool = True
     # Fuse conv1+PReLU+pool into one Pallas kernel (ops/fused_conv1.py).
     # Valid only when the layer input needs no gradient (it never does: the
     # transform in front is stop-gradient) and in_channels == 1, kernel1 == 3.
@@ -128,21 +185,29 @@ class DCNN(nn.Module):
             )
             x = PReLU(name="cnn_1")(x)
             x = max_pool_2x2(x)
-        x = BatchNorm(affine=False, name="cnn_3")(x, train)
-        x = Conv2d(self.ochannels2, 1, padding=0, name="cnn_4")(x)
+        def bn_conv(x, bn_name, conv_name, affine, feat, k, padding, dilation=1):
+            if self.fold_bn:
+                return _folded_bn_conv(
+                    self, x, train,
+                    bn_name=bn_name, conv_name=conv_name, affine=affine,
+                    features=feat, kernel_size=k, padding=padding,
+                    dilation=dilation, precision=prec,
+                )
+            x = BatchNorm(affine=affine, name=bn_name)(x, train)
+            return Conv2d(
+                feat, k, padding=padding, dilation=dilation, name=conv_name
+            )(x)
+
+        x = bn_conv(x, "cnn_3", "cnn_4", False, self.ochannels2, 1, 0)
         x = PReLU(name="cnn_5")(x)
-        x = BatchNorm(affine=False, name="cnn_6")(x, train)
-        x = Conv2d(self.ochannels3, 3, padding=1, name="cnn_7")(x)
+        x = bn_conv(x, "cnn_6", "cnn_7", False, self.ochannels3, 3, 1)
         x = PReLU(name="cnn_8")(x)
         x = max_pool_2x2(x)
-        x = BatchNorm(affine=False, name="cnn_10")(x, train)
-        x = Conv2d(self.ochannels4, 3, padding=1, name="cnn_11")(x)
+        x = bn_conv(x, "cnn_10", "cnn_11", False, self.ochannels4, 3, 1)
         x = PReLU(name="cnn_12")(x)
-        x = BatchNorm(affine=False, name="cnn_13")(x, train)
-        x = Conv2d(self.ochannels5, 3, padding=1, name="cnn_14")(x)
+        x = bn_conv(x, "cnn_13", "cnn_14", False, self.ochannels5, 3, 1)
         x = PReLU(name="cnn_15")(x)
-        x = BatchNorm(affine=False, name="cnn_16")(x, train)
-        x = Conv2d(64, 3, padding=1, name="cnn_17")(x)
+        x = bn_conv(x, "cnn_16", "cnn_17", False, 64, 3, 1)
         x = PReLU(name="cnn_18")(x)
         x = max_pool_2x2(x)
         if self.with_dropout:

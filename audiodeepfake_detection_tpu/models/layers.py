@@ -33,6 +33,44 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v)
 
 
+def _torch_bn_stats(mdl: nn.Module, x: jnp.ndarray, train: bool, momentum: float):
+    """Torch-semantics BN statistics on module ``mdl``: biased variance for
+    normalisation, unbiased for the running update, momentum torch-style,
+    ``num_batches_tracked`` buffer.  Returns the (mean, var) to normalise
+    with.  Shared by :class:`BatchNorm` and the folded BN+conv path so the
+    ``batch_stats`` tree is identical either way."""
+    features = x.shape[-1]
+    ra_mean = mdl.variable(
+        "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+    )
+    ra_var = mdl.variable(
+        "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+    )
+    n_tracked = mdl.variable(
+        "batch_stats", "num_batches_tracked", lambda: jnp.zeros((), jnp.int32)
+    )
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        # statistics always accumulate in fp32 (bf16 activations would
+        # lose precision over millions of elements)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        mean2 = jnp.mean(jax.lax.square(x32), axis=axes)
+        var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+        if not mdl.is_initializing():
+            n = 1.0
+            for d in axes:
+                n *= x.shape[d]
+            unbiased = var * (n / max(n - 1.0, 1.0))
+            m = momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            n_tracked.value = n_tracked.value + 1
+    else:
+        mean, var = ra_mean.value, ra_var.value
+    return mean, var
+
+
 class BatchNorm(nn.Module):
     """Torch-semantics batch normalisation over the last (feature) axis."""
 
@@ -44,40 +82,36 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         features = x.shape[-1]
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
-        )
-        n_tracked = self.variable(
-            "batch_stats", "num_batches_tracked", lambda: jnp.zeros((), jnp.int32)
-        )
-        if train:
-            axes = tuple(range(x.ndim - 1))
-            # statistics always accumulate in fp32 (bf16 activations would
-            # lose precision over millions of elements)
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=axes)
-            mean2 = jnp.mean(jax.lax.square(x32), axis=axes)
-            var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
-            if not self.is_initializing():
-                n = 1.0
-                for d in axes:
-                    n *= x.shape[d]
-                unbiased = var * (n / max(n - 1.0, 1.0))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
-                n_tracked.value = n_tracked.value + 1
-        else:
-            mean, var = ra_mean.value, ra_var.value
+        mean, var = _torch_bn_stats(self, x, train, self.momentum)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (features,))
             bias = self.param("bias", nn.initializers.zeros, (features,))
             y = y * scale + bias
         return y.astype(x.dtype)
+
+
+class BatchNormStats(nn.Module):
+    """BN variables + statistics only — for folding the normalisation into
+    a following convolution (see models/dcnn.py).  Returns the per-channel
+    affine form of the normalisation: ``BN(x) = x * s + t``."""
+
+    affine: bool = True
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        features = x.shape[-1]
+        mean, var = _torch_bn_stats(self, x, train, self.momentum)
+        s = jax.lax.rsqrt(var + self.eps)
+        t = -mean * s
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (features,))
+            bias = self.param("bias", nn.initializers.zeros, (features,))
+            s = s * scale
+            t = t * scale + bias
+        return s, t
 
 
 class PReLU(nn.Module):
