@@ -55,7 +55,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_batch(mesh: Mesh, batch, axis: str = "data", batch_axis: int = 0):
     """Place a host batch pytree with the batch axis sharded over the mesh.
 
     Single-controller: plain ``device_put`` with a batch sharding.  Multi
@@ -75,8 +75,10 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     multihost = jax.process_count() > 1
 
     def place(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
-            sharding = batch_sharding(mesh, np.ndim(x), axis)
+        if np.ndim(x) > batch_axis and np.shape(x)[batch_axis] % n == 0:
+            spec = [None] * np.ndim(x)
+            spec[batch_axis] = axis
+            sharding = NamedSharding(mesh, P(*spec))
             if multihost:
                 return jax.make_array_from_process_local_data(
                     sharding, np.asarray(x)

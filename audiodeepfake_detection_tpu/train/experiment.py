@@ -94,6 +94,7 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--time-dim-add", type=int, default=d.time_dim_add)
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
     parser.add_argument("--frame-cache", action="store_true")
+    parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
     parser.add_argument("--only-ig", action="store_true")
     parser.add_argument("--config", type=str, default=None)
     return parser

@@ -87,7 +87,19 @@ def make_train_step(
     aug_noise: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the fused train step (donated state; jit once per config)."""
+    return jax.jit(
+        _train_step_body(model, transform, tx, aug_contrast, aug_noise),
+        donate_argnums=(0,),
+    )
 
+
+def _train_step_body(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, aug_rng, dropout_rng = jax.random.split(state.rng, 3)
         audio = audio_to_float(batch["audio"])
@@ -124,7 +136,40 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_multi_train_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """G sequential optimizer steps in ONE dispatch (``lax.scan``).
+
+    The batch pytree carries a leading superbatch axis ``[G, B, ...]``; the
+    scan consumes one batch per iteration, so gradients / Adam updates / BN
+    running stats evolve exactly as G separate calls would.  Returned stats
+    are stacked ``[G]``.  Use when per-dispatch latency dominates (the TPU
+    relay in this environment costs ~100 ms per fresh-input dispatch;
+    multi-host setups amortize the same way).  Reference counterpart: the
+    per-batch torch loop, train_classifier.py:910-912 — there is no torch
+    equivalent of executing the loop on device.
+    """
+    body = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+
+    def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def stack_batches(batches):
+    """Stack a list of same-shape host batches into one ``[G, ...]`` pytree."""
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def make_eval_step(

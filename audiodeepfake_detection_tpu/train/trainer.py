@@ -79,6 +79,21 @@ class Trainer:
             aug_contrast=bool(args.aug_contrast),
             aug_noise=bool(args.aug_noise),
         )
+        # chain G optimizer steps per dispatch (lax.scan) — identical math,
+        # G fewer host round-trips (the relay costs ~100 ms per dispatch
+        # with fresh inputs; see steps.make_multi_train_step)
+        self.steps_per_call = int(args.get("steps_per_call") or 1)
+        self.multi_train_step = None
+        if self.steps_per_call > 1:
+            from .steps import make_multi_train_step
+
+            self.multi_train_step = make_multi_train_step(
+                model,
+                transform,
+                self.tx,
+                aug_contrast=bool(args.aug_contrast),
+                aug_noise=bool(args.aug_noise),
+            )
         self.eval_step = make_eval_step(model, transform)
 
         self.state: Optional[TrainState] = None
@@ -145,21 +160,24 @@ class Trainer:
         # step would serialize dispatch — ~85 ms RTT through the TPU relay);
         # they are gathered once at epoch end.
         pending = []
-        steps = device_prefetch(chain(), self.mesh)
-        if self.args.get("pbar"):
-            from tqdm import tqdm
+        if self.multi_train_step is not None:
+            self._run_multi_steps(chain(), pending, timer, epoch)
+        else:
+            steps = device_prefetch(chain(), self.mesh)
+            if self.args.get("pbar"):
+                from tqdm import tqdm
 
-            steps = tqdm(
-                steps,
-                total=len(self.train_loader),
-                desc=f"epoch {epoch + 1}",
-                unit="batch",
-            )
-        for device_batch in steps:
-            self.state, stats = self.train_step(self.state, device_batch)
-            self.step_total += 1
-            timer.step()
-            pending.append((self.step_total, stats))
+                steps = tqdm(
+                    steps,
+                    total=len(self.train_loader),
+                    desc=f"epoch {epoch + 1}",
+                    unit="batch",
+                )
+            for device_batch in steps:
+                self.state, stats = self.train_step(self.state, device_batch)
+                self.step_total += 1
+                timer.step()
+                pending.append((self.step_total, stats))
         for step_no, stats in pending:
             loss = float(stats["loss"])
             acc = float(stats["acc"])
@@ -173,6 +191,43 @@ class Trainer:
             self.writer.add_scalar(
                 "perf/train_frames_per_sec", timer.frames_per_sec, self.step_total
             )
+
+    def _run_multi_steps(self, host_batches, pending, timer, epoch) -> None:
+        """Consume an epoch in superbatches of ``steps_per_call`` (scan);
+        the tail that doesn't fill a group runs through the single step."""
+        import jax as _jax
+
+        from ..parallel.mesh import shard_batch as _shard
+        from .steps import stack_batches
+
+        spc = self.steps_per_call
+        buf: List[dict] = []
+
+        def flush():
+            group = stack_batches(buf)
+            buf.clear()
+            device_group = _shard(self.mesh, group, batch_axis=1)
+            self.state, stats = self.multi_train_step(self.state, device_group)
+            for g in range(spc):
+                self.step_total += 1
+                timer.step()
+                pending.append(
+                    (
+                        self.step_total,
+                        _jax.tree.map(lambda s, g=g: s[g], stats),
+                    )
+                )
+
+        for batch in host_batches:
+            buf.append(batch)
+            if len(buf) == spc:
+                flush()
+        for batch in buf:  # remainder: single steps
+            device_batch = _shard(self.mesh, batch)
+            self.state, stats = self.train_step(self.state, device_batch)
+            self.step_total += 1
+            timer.step()
+            pending.append((self.step_total, stats))
 
     def _maybe_log_model_summary(self, example_batch) -> None:
         """One-time model graph summary to tensorboard.

@@ -76,7 +76,7 @@ def measure_tpu() -> float:
     return STEPS * BATCH / dt
 
 
-def measure_end_to_end(frame_cache: bool) -> float:
+def measure_end_to_end(frame_cache: bool, steps_per_call: int = 8) -> float:
     """Sustained loader -> H2D -> train-step throughput with real files.
 
     Builds a synthetic wav corpus, optionally pre-decodes it into the frame
@@ -105,11 +105,17 @@ def measure_end_to_end(frame_cache: bool) -> float:
     from audiodeepfake_detection_tpu.data.loader import FrameLoader
     from audiodeepfake_detection_tpu.models import DCNN
     from audiodeepfake_detection_tpu.ops.wpt import packet_image
-    from audiodeepfake_detection_tpu.parallel.mesh import device_prefetch, get_mesh
+    from audiodeepfake_detection_tpu.parallel.mesh import (
+        device_prefetch,
+        get_mesh,
+        shard_batch,
+    )
     from audiodeepfake_detection_tpu.train.steps import (
         create_train_state,
+        make_multi_train_step,
         make_optimizer,
         make_train_step,
+        stack_batches,
     )
 
     root = tempfile.mkdtemp(prefix="bench_e2e_")
@@ -140,21 +146,42 @@ def measure_end_to_end(frame_cache: bool) -> float:
         first = next(iter(loader.epoch(0)))
         img = transform(jnp.asarray(first["audio"][:16], jnp.float32))
         state = create_train_state(model, tx, img, seed=0)
-        step = make_train_step(model, transform, tx)
         mesh = get_mesh(jax.devices()[:1])
+        g = max(1, steps_per_call)
+        if g > 1:
+            step = make_multi_train_step(model, transform, tx)
+
+            def run_epoch(epoch, state):
+                n, buf = 0, []
+                for batch in loader.epoch(epoch):
+                    buf.append(batch)
+                    if len(buf) == g:
+                        group = shard_batch(mesh, stack_batches(buf), batch_axis=1)
+                        state, stats = step(state, group)
+                        n += g * BATCH
+                        buf.clear()
+                return state, stats, n
+        else:
+            step = make_train_step(model, transform, tx)
+
+            def run_epoch(epoch, state):
+                n = 0
+                stats = None
+                for batch in device_prefetch(loader.epoch(epoch), mesh):
+                    state, stats = step(state, batch)
+                    n += BATCH
+                return state, stats, n
 
         # warm epoch compiles + fills page cache
-        for batch in device_prefetch(loader.epoch(0), mesh):
-            state, stats = step(state, batch)
-        float(stats["loss"])
+        state, stats, _ = run_epoch(0, state)
+        float(np.sum(stats["loss"]))
 
         n = 0
         t0 = time.time()
         for epoch in (1, 2):
-            for batch in device_prefetch(loader.epoch(epoch), mesh):
-                state, stats = step(state, batch)
-                n += BATCH
-        float(stats["loss"])
+            state, stats, ne = run_epoch(epoch, state)
+            n += ne
+        float(np.sum(stats["loss"]))
         return n / (time.time() - t0)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -241,14 +268,19 @@ def main() -> None:
         help="include host decode/input pipeline (synthetic wav corpus)",
     )
     parser.add_argument("--no-frame-cache", action="store_true")
+    parser.add_argument("--steps-per-call", type=int, default=8)
     args = parser.parse_args()
     if args.end_to_end:
-        fps = measure_end_to_end(frame_cache=not args.no_frame_cache)
+        fps = measure_end_to_end(
+            frame_cache=not args.no_frame_cache,
+            steps_per_call=args.steps_per_call,
+        )
         print(
             json.dumps(
                 {
                     "metric": "end-to-end train throughput incl. input pipeline"
-                    f" ({'frame cache' if not args.no_frame_cache else 'native decode'})",
+                    f" ({'frame cache' if not args.no_frame_cache else 'native decode'},"
+                    f" {args.steps_per_call} steps/dispatch)",
                     "value": round(fps, 1),
                     "unit": "frames/sec/chip",
                     "vs_baseline": round(fps / cpu_baseline(False), 1),

@@ -104,3 +104,71 @@ class TestSafeEER:
         y = np.array([0, 0, 1, 1])
         s = np.array([0.1, 0.2, 0.8, 0.9])
         assert safe_eer(y, s) == pytest.approx(calculate_eer(y, s))
+
+
+class TestMultiStep:
+    def test_scan_steps_equal_single_steps(self):
+        """make_multi_train_step(G) must evolve params/opt state/BN stats
+        exactly like G sequential make_train_step calls."""
+        import jax
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_multi_train_step,
+            make_optimizer,
+            make_train_step,
+            stack_batches,
+        )
+
+        model = DCNN(
+            time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+            ochannels4=8, ochannels5=2, with_dropout=False,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        tx = make_optimizer(4e-4, 1e-3)
+        rng = np.random.RandomState(0)
+        batches = [
+            {
+                "audio": rng.randn(4, 1, 2048).astype(np.float32),
+                "label": rng.randint(0, 2, 4).astype(np.int32),
+            }
+            for _ in range(3)
+        ]
+        img = transform(jnp.asarray(batches[0]["audio"]))
+        s_single = create_train_state(model, tx, img, seed=0)
+        s_multi = create_train_state(model, tx, img, seed=0)
+
+        single = make_train_step(model, transform, tx)
+        multi = make_multi_train_step(model, transform, tx)
+
+        singles = []
+        for b in batches:
+            s_single, st = single(s_single, b)
+            singles.append(st)
+        s_multi, stacked = multi(s_multi, stack_batches(batches))
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            s_single.params,
+            s_multi.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            s_single.batch_stats,
+            s_multi.batch_stats,
+        )
+        for g, st in enumerate(singles):
+            np.testing.assert_allclose(
+                float(st["loss"]), float(stacked["loss"][g]), rtol=1e-5
+            )
+        assert int(s_multi.step) == 3
