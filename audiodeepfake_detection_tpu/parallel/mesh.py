@@ -71,8 +71,12 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data", batch_axis: int = 0):
     batches to a fixed divisible shape, so this should never fire in the
     training/eval paths.
     """
-    n = int(mesh.shape[axis])
     multihost = jax.process_count() > 1
+    # each process passes its LOCAL slice, so divisibility is against the
+    # devices this process contributes to the axis
+    n = int(
+        mesh.local_mesh.shape[axis] if multihost else mesh.shape[axis]
+    )
 
     def place(x):
         if np.ndim(x) > batch_axis and np.shape(x)[batch_axis] % n == 0:
@@ -85,6 +89,13 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data", batch_axis: int = 0):
                 )
             return jax.device_put(x, sharding)
         if np.ndim(x) >= 1:
+            if multihost:
+                raise ValueError(
+                    f"shard_batch: local batch dim {np.shape(x)[batch_axis]}"
+                    f" not divisible by this process's {n} devices on mesh"
+                    f" axis '{axis}' — replication is not possible across"
+                    " processes; pad the loader batch"
+                )
             import warnings
 
             warnings.warn(

@@ -21,6 +21,12 @@ T = 22050
 
 def bench_step(model, transform, tag, steps=50):
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from audiodeepfake_detection_tpu.train.steps import (
@@ -76,6 +82,40 @@ def main() -> None:
     bench_step(DCNN(time_dim=12, **fast), stft_transform, "stft + DCNN bf16")
     bench_step(
         LCNN(lstm_channels=256, **fast), stft_transform, "stft + LCNN bf16"
+    )
+    bench_eval(DCNN(time_dim=12, **fast), wpt_transform, "packets-sym5 + DCNN bf16 eval")
+
+
+def bench_eval(model, transform, tag, steps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.randn(B, 1, T).astype(np.float32),
+        "label": rng.randint(0, 2, B).astype(np.int32),
+        "weight": np.ones(B, np.float32),
+    }
+    img = transform(jnp.asarray(batch["audio"][:16]))
+    state = create_train_state(model, make_optimizer(4e-4, 1e-3), img, seed=0)
+    eval_step = make_eval_step(model, transform)
+    dbatch = jax.device_put(batch)
+    res = eval_step(state.params, state.batch_stats, dbatch)
+    float(res["total"])
+    t0 = time.time()
+    for _ in range(steps):
+        res = eval_step(state.params, state.batch_stats, dbatch)
+    float(res["total"])
+    dt = time.time() - t0
+    print(
+        f"{tag}: {dt / steps * 1000:.2f} ms/step, {steps * B / dt:.0f} frames/s",
+        flush=True,
     )
 
 
