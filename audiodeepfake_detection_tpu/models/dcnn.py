@@ -28,87 +28,13 @@ import jax.numpy as jnp
 from .layers import BatchNorm, Conv2d, Dropout, PReLU, max_pool_2x2
 
 
-class _ConvParams(nn.Module):
-    """Bare conv parameters (used by the fused layer-1 path so the param
-    tree keeps the standard ``cnn_0/Conv_0/{kernel,bias}`` layout)."""
-
-    kshape: tuple
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), self.kshape
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
-        return kernel, bias
-
-
-class _ConvScope(nn.Module):
-    kshape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return _ConvParams(self.kshape, name="Conv_0")()
+from .layers import ConvScope as _ConvScope  # noqa: E402  (param-tree helper)
 
 
 class _AlphaScope(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("alpha", lambda key: jnp.asarray(0.25, "float32"))
-
-
-def _folded_bn_conv(
-    parent,
-    x: jnp.ndarray,
-    train: bool,
-    *,
-    bn_name: str,
-    conv_name: str,
-    affine: bool,
-    features: int,
-    kernel_size: int,
-    padding: int,
-    dilation: int,
-    precision,
-) -> jnp.ndarray:
-    """``conv(BN(x))`` with the normalisation folded into the conv weights.
-
-    BN is per-channel affine, ``BN(x) = x*s + t``, so
-    ``conv_pad(BN(x)) = conv_pad(x, w*s) + conv_pad(t*1, w)`` — the second
-    term is a batch-1 convolution of the constant map (it differs from a
-    plain bias only near padded borders).  This skips materialising the
-    normalised tensor entirely (hundreds of MB per step across the five CNN
-    norms); statistics/running updates and gradients are unchanged
-    (identical math, different schedule).  Param/batch-stats trees match
-    the unfused ``BatchNorm`` + ``Conv2d`` exactly.
-    """
-    import jax
-    from jax import lax
-
-    from .layers import BatchNormStats
-
-    s, t = BatchNormStats(affine=affine, name=bn_name)(x, train)
-    cin = x.shape[-1]
-    kernel, bias = _ConvScope(
-        (kernel_size, kernel_size, cin, features), name=conv_name
-    )()
-    dt = x.dtype
-    dn = ("NHWC", "HWIO", "NHWC")
-    pad = [(padding, padding), (padding, padding)]
-    dil = (dilation, dilation)
-    w_folded = (kernel * s[None, None, :, None]).astype(dt)
-    y = lax.conv_general_dilated(
-        x, w_folded, (1, 1), pad, rhs_dilation=dil,
-        dimension_numbers=dn, precision=precision,
-    )
-    t_map = jnp.broadcast_to(
-        t.astype(dt), (1, x.shape[1], x.shape[2], cin)
-    )
-    const = lax.conv_general_dilated(
-        t_map, kernel.astype(dt), (1, 1), pad, rhs_dilation=dil,
-        dimension_numbers=dn, precision=precision,
-    )
-    return y + const + bias.astype(dt)
 
 
 class DCNN(nn.Module):
@@ -187,8 +113,10 @@ class DCNN(nn.Module):
             x = max_pool_2x2(x)
         def bn_conv(x, bn_name, conv_name, affine, feat, k, padding, dilation=1):
             if self.fold_bn:
-                return _folded_bn_conv(
-                    self, x, train,
+                from .layers import folded_bn_conv
+
+                return folded_bn_conv(
+                    x, train,
                     bn_name=bn_name, conv_name=conv_name, affine=affine,
                     features=feat, kernel_size=k, padding=padding,
                     dilation=dilation, precision=prec,
@@ -218,14 +146,11 @@ class DCNN(nn.Module):
         x = jnp.transpose(x, (0, 3, 2, 1))
 
         if self.with_dilation:
-            x = BatchNorm(affine=True, name="dil_0")(x, train)
-            x = Conv2d(self.time_dim, 3, padding=1, dilation=1, name="dil_1")(x)
+            x = bn_conv(x, "dil_0", "dil_1", True, self.time_dim, 3, 1, 1)
             x = PReLU(name="dil_2")(x)
-            x = BatchNorm(affine=True, name="dil_3")(x, train)
-            x = Conv2d(self.time_dim, 5, padding=2, dilation=2, name="dil_4")(x)
+            x = bn_conv(x, "dil_3", "dil_4", True, self.time_dim, 5, 2, 2)
             x = PReLU(name="dil_5")(x)
-            x = BatchNorm(affine=True, name="dil_6")(x, train)
-            x = Conv2d(self.time_dim, 7, padding=2, dilation=4, name="dil_7")(x)
+            x = bn_conv(x, "dil_6", "dil_7", True, self.time_dim, 7, 2, 4)
             x = PReLU(name="dil_8")(x)
             if self.with_dropout:
                 x = Dropout(self.dropout_lstm, name="dil_drop")(x, train)

@@ -114,6 +114,76 @@ class BatchNormStats(nn.Module):
         return s, t
 
 
+class ConvParams(nn.Module):
+    """Bare conv parameters in the standard ``Conv_0/{kernel,bias}`` layout
+    (used by fused paths so the param tree matches a plain ``Conv2d``)."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return kernel, bias
+
+
+class ConvScope(nn.Module):
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return ConvParams(self.kshape, name="Conv_0")()
+
+
+def folded_bn_conv(
+    x: jnp.ndarray,
+    train: bool,
+    *,
+    bn_name: str,
+    conv_name: str,
+    affine: bool,
+    features: int,
+    kernel_size: int,
+    padding: int,
+    dilation: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """``conv(BN(x))`` with the normalisation folded into the conv weights.
+
+    BN is per-channel affine, ``BN(x) = x*s + t``, so
+    ``conv_pad(BN(x)) = conv_pad(x, w*s) + conv_pad(t*1, w)`` — the second
+    term is a batch-1 convolution of the constant map (it differs from a
+    plain bias only near padded borders).  This skips materialising the
+    normalised tensor entirely; statistics/running updates and gradients
+    are unchanged (identical math, different schedule).  Param/batch-stats
+    trees match the unfused ``BatchNorm`` + ``Conv2d`` exactly.  Must be
+    called inside an ``@nn.compact`` ``__call__`` (the child modules attach
+    to the calling scope).
+    """
+    s, t = BatchNormStats(affine=affine, name=bn_name)(x, train)
+    cin = x.shape[-1]
+    kernel, bias = ConvScope(
+        (kernel_size, kernel_size, cin, features), name=conv_name
+    )()
+    dt = x.dtype
+    dn = ("NHWC", "HWIO", "NHWC")
+    pad = [(padding, padding), (padding, padding)]
+    dil = (dilation, dilation)
+    w_folded = (kernel * s[None, None, :, None]).astype(dt)
+    y = jax.lax.conv_general_dilated(
+        x, w_folded, (1, 1), pad, rhs_dilation=dil,
+        dimension_numbers=dn, precision=precision,
+    )
+    t_map = jnp.broadcast_to(t.astype(dt), (1, x.shape[1], x.shape[2], cin))
+    const = jax.lax.conv_general_dilated(
+        t_map, kernel.astype(dt), (1, 1), pad, rhs_dilation=dil,
+        dimension_numbers=dn, precision=precision,
+    )
+    return y + const + bias.astype(dt)
+
+
 class PReLU(nn.Module):
     """Torch ``nn.PReLU()``: one shared learnable slope, init 0.25."""
 
@@ -190,58 +260,18 @@ class Dropout(nn.Module):
         return nn.Dropout(rate=self.rate, deterministic=not train)(x)
 
 
-def _lstm_direction(
-    x: jnp.ndarray,
-    w_ih: jnp.ndarray,
-    w_hh: jnp.ndarray,
-    bias: jnp.ndarray,
-    reverse: bool,
-) -> jnp.ndarray:
-    """One LSTM direction over ``[B, T, D]`` via ``lax.scan``.
-
-    Torch gate order (i, f, g, o).  The input projection for all timesteps is
-    a single big matmul (MXU work); only the small recurrent matmul sits in
-    the scan.
-    """
-    b, t, _ = x.shape
-    hidden = w_hh.shape[-1]
-    x_proj = (
-        jnp.einsum("btd,hd->bth", x, w_ih, precision=jax.lax.Precision.HIGHEST) + bias
-    )
-    if reverse:
-        x_proj = jnp.flip(x_proj, axis=1)
-
-    def step(carry, xt):
-        h, c = carry
-        z = xt + jnp.einsum(
-            "bh,gh->bg", h, w_hh, precision=jax.lax.Precision.HIGHEST
-        )
-        i, f, g, o = jnp.split(z, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
-
-    init = (
-        jnp.zeros((b, hidden), x_proj.dtype),
-        jnp.zeros((b, hidden), x_proj.dtype),
-    )
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1))
-    hs = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
-    if reverse:
-        hs = jnp.flip(hs, axis=1)
-    return hs
-
-
 class BLSTMLayer(nn.Module):
     """Bidirectional LSTM keeping sequence length, out dim == hidden*2.
 
     Parity with the reference's ``BLSTMLayer`` wrapper around torch
     ``nn.LSTM(input, output//2, bidirectional=True)``
     (reference: src/audiofakedetect/models.py:212-237).
+
+    Both directions run in ONE ``lax.scan``: the forward sequence and the
+    time-reversed backward sequence are stacked on a direction axis and the
+    recurrent matmul is batched over it (``dbh,dgh->dbg``) — halving the
+    sequential chain length vs two scans (the scan is latency-bound on TPU,
+    the per-step matmuls are tiny).
     """
 
     input_dim: int
@@ -256,11 +286,47 @@ class BLSTMLayer(nn.Module):
         def uni(key, shape):
             return jax.random.uniform(key, shape, jnp.float32, -k, k)
 
-        outs = []
+        proj = []
+        w_hh_both = []
         for direction, reverse in (("fw", False), ("bw", True)):
             w_ih = self.param(f"w_ih_{direction}", uni, (4 * hidden, self.input_dim))
             w_hh = self.param(f"w_hh_{direction}", uni, (4 * hidden, hidden))
             b_ih = self.param(f"b_ih_{direction}", uni, (4 * hidden,))
             b_hh = self.param(f"b_hh_{direction}", uni, (4 * hidden,))
-            outs.append(_lstm_direction(x, w_ih, w_hh, b_ih + b_hh, reverse))
-        return jnp.concatenate(outs, axis=-1)
+            # big input projection outside the scan (MXU work)
+            p = (
+                jnp.einsum(
+                    "btd,hd->bth", x, w_ih,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + b_ih
+                + b_hh
+            )
+            proj.append(jnp.flip(p, axis=1) if reverse else p)
+            w_hh_both.append(w_hh)
+        xp = jnp.stack(proj)  # [2, B, T, 4H]
+        w_hh = jnp.stack(w_hh_both)  # [2, 4H, H]
+        b, t = x.shape[0], x.shape[1]
+
+        def step(carry, xt):  # xt: [2, B, 4H]
+            h, c = carry
+            z = xt + jnp.einsum(
+                "dbh,dgh->dbg", h, w_hh, precision=jax.lax.Precision.HIGHEST
+            )
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        init = (
+            jnp.zeros((2, b, hidden), xp.dtype),
+            jnp.zeros((2, b, hidden), xp.dtype),
+        )
+        _, hs = jax.lax.scan(step, init, jnp.moveaxis(xp, 2, 0))  # [T, 2, B, H]
+        fw = jnp.moveaxis(hs[:, 0], 0, 1)  # [B, T, H]
+        bw = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
+        return jnp.concatenate([fw, bw], axis=-1)

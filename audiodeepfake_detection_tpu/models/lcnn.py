@@ -29,6 +29,9 @@ class LCNN(nn.Module):
     lstm_channels: int = 256
     dtype: Any = None
     precision: Any = None
+    # fold each BatchNorm into its following conv (identical math; see
+    # layers.folded_bn_conv)
+    fold_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -48,32 +51,39 @@ class LCNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        def bn_conv(x, bn_name, conv_name, feat, k, padding):
+            if self.fold_bn:
+                from .layers import folded_bn_conv
+
+                return folded_bn_conv(
+                    x, train,
+                    bn_name=bn_name, conv_name=conv_name, affine=False,
+                    features=feat, kernel_size=k, padding=padding,
+                    precision=prec,
+                )
+            x = BatchNorm(affine=False, name=bn_name)(x, train)
+            return Conv2d(feat, k, padding=padding, name=conv_name)(x)
+
         x = Conv2d(64, 5, padding=2, name="lcnn_0")(x)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
         x = Conv2d(64, 1, padding=0, name="lcnn_3")(x)
         x = max_feature_map_2d(x)
-        x = BatchNorm(affine=False, name="lcnn_5")(x, train)
-        x = Conv2d(96, 3, padding=1, name="lcnn_6")(x)
+        x = bn_conv(x, "lcnn_5", "lcnn_6", 96, 3, 1)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
-        x = BatchNorm(affine=False, name="lcnn_9")(x, train)
-        x = Conv2d(96, 1, padding=0, name="lcnn_10")(x)
+        x = bn_conv(x, "lcnn_9", "lcnn_10", 96, 1, 0)
         x = max_feature_map_2d(x)
-        x = BatchNorm(affine=False, name="lcnn_12")(x, train)
-        x = Conv2d(128, 3, padding=1, name="lcnn_13")(x)
+        x = bn_conv(x, "lcnn_12", "lcnn_13", 128, 3, 1)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
         x = Conv2d(128, 1, padding=0, name="lcnn_16")(x)
         x = max_feature_map_2d(x)
-        x = BatchNorm(affine=False, name="lcnn_18")(x, train)
-        x = Conv2d(64, 3, padding=1, name="lcnn_19")(x)
+        x = bn_conv(x, "lcnn_18", "lcnn_19", 64, 3, 1)
         x = max_feature_map_2d(x)
-        x = BatchNorm(affine=False, name="lcnn_21")(x, train)
-        x = Conv2d(64, 1, padding=0, name="lcnn_22")(x)
+        x = bn_conv(x, "lcnn_21", "lcnn_22", 64, 1, 0)
         x = max_feature_map_2d(x)
-        x = BatchNorm(affine=False, name="lcnn_24")(x, train)
-        x = Conv2d(64, 3, padding=1, name="lcnn_25")(x)
+        x = bn_conv(x, "lcnn_24", "lcnn_25", 64, 3, 1)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
         x = Dropout(0.7, name="lcnn_drop")(x, train)
