@@ -244,12 +244,15 @@ def max_feature_map_2d(x: jnp.ndarray) -> jnp.ndarray:
 
     Torch splits channel dim C (axis 1, NCHW) as (2, C/2) and maxes the
     leading factor (reference: src/audiofakedetect/models.py:161-209); the
-    NHWC equivalent pairs channel j with j + C/2.
+    NHWC equivalent pairs channel j with j + C/2.  Written as a maximum of
+    two channel slices, NOT a (..., 2, C/2) reshape + reduce: the 5-D
+    reshape forces a 32-lane layout and its backward materializes two
+    full-size broadcasts (~2 ms/step in the LCNN profile); the slice form
+    stays in the native layout and its backward is a fusible masked select.
     """
     c = x.shape[-1]
     assert c % 2 == 0, "MaxFeatureMap2D needs an even channel count"
-    y = x.reshape(*x.shape[:-1], 2, c // 2)
-    return jnp.max(y, axis=-2)
+    return jnp.maximum(x[..., : c // 2], x[..., c // 2 :])
 
 
 class Dropout(nn.Module):

@@ -64,7 +64,14 @@ class LCNN(nn.Module):
             x = BatchNorm(affine=False, name=bn_name)(x, train)
             return Conv2d(feat, k, padding=padding, name=conv_name)(x)
 
-        x = Conv2d(64, 5, padding=2, name="lcnn_0")(x)
+        # first conv via the bandwidth-lean custom VJP (same pathology as
+        # the DCNN's conv1: XLA's default transpose reverses the full
+        # output-gradient tensor; see ops/first_conv.py)
+        from ..ops.first_conv import first_conv
+        from .layers import ConvScope
+
+        kernel, bias = ConvScope((5, 5, x.shape[-1], 64), name="lcnn_0")()
+        x = first_conv(x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
         x = Conv2d(64, 1, padding=0, name="lcnn_3")(x)
