@@ -172,3 +172,55 @@ class TestMultiStep:
                 float(st["loss"]), float(stacked["loss"][g]), rtol=1e-5
             )
         assert int(s_multi.step) == 3
+
+
+class TestInt16Batches:
+    def test_train_and_eval_steps_accept_pcm(self):
+        """int16 PCM batches (frame-cache emit mode) produce the same
+        results as float32 batches — conversion happens in-graph."""
+        import jax
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_eval_step,
+            make_optimizer,
+            make_train_step,
+        )
+
+        model = DCNN(
+            time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+            ochannels4=8, ochannels5=2, with_dropout=False,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        tx = make_optimizer(4e-4, 1e-3)
+        rng = np.random.RandomState(0)
+        pcm = (rng.randn(4, 1, 2048) * 4000).astype(np.int16)
+        b16 = {
+            "audio": pcm,
+            "label": rng.randint(0, 2, 4).astype(np.int32),
+            "weight": np.ones(4, np.float32),
+        }
+        b32 = dict(b16, audio=pcm.astype(np.float32) / 32768.0)
+
+        img = transform(jnp.asarray(b32["audio"]))
+        s16 = create_train_state(model, tx, img, seed=0)
+        s32 = create_train_state(model, tx, img, seed=0)
+        step = make_train_step(model, transform, tx)
+        s16, st16 = step(s16, b16)
+        s32, st32 = step(s32, b32)
+        np.testing.assert_allclose(
+            float(st16["loss"]), float(st32["loss"]), rtol=1e-6
+        )
+
+        ev = make_eval_step(model, transform)
+        r16 = ev(s16.params, s16.batch_stats, b16)
+        r32 = ev(s16.params, s16.batch_stats, b32)
+        np.testing.assert_allclose(
+            np.asarray(r16["scores"]), np.asarray(r32["scores"]), rtol=1e-6
+        )
