@@ -76,7 +76,7 @@ def measure_tpu() -> float:
     return STEPS * BATCH / dt
 
 
-def measure_end_to_end(frame_cache: bool, steps_per_call: int = 8) -> float:
+def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
     """Sustained loader -> H2D -> train-step throughput with real files.
 
     Builds a synthetic wav corpus, optionally pre-decodes it into the frame
@@ -268,7 +268,7 @@ def main() -> None:
         help="include host decode/input pipeline (synthetic wav corpus)",
     )
     parser.add_argument("--no-frame-cache", action="store_true")
-    parser.add_argument("--steps-per-call", type=int, default=8)
+    parser.add_argument("--steps-per-call", type=int, default=1)
     args = parser.parse_args()
     if args.end_to_end:
         fps = measure_end_to_end(
