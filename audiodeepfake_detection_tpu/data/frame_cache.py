@@ -61,7 +61,9 @@ def build_frame_cache(
         dataset, batch_size, num_threads=num_threads, prefetch=0,
         use_frame_cache=False,
     )
-    tmp = path + ".tmp"
+    # per-process temp name: concurrent builders (multi-host) must not
+    # interleave writes into one file; the atomic rename makes last-wins safe
+    tmp = f"{path}.{os.getpid()}.tmp"
     mm = open_memmap(tmp, mode="w+", dtype=np.int16, shape=(n, target_len))
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
