@@ -13,12 +13,14 @@ sub-32-bit scalar extracts):
 * **Phase decomposition.**  The input is pre-split in XLA into its four
   parity phases ``x[a::2, b::2]``; every pool-window position then reads 9
   contiguous slices — no strided access in-kernel.
-* **Row loop with rank-1 broadcasts.**  A ``fori_loop`` walks output rows;
-  each conv row is built from ``w_col [C, 1] * win_row [1, W]`` products —
-  the canonical size-1-dim broadcast Mosaic supports — and pooled across
-  the four phases without materializing the full-resolution activation.
-  The output layout is ``[B, h2, C, w2]`` so a row write is a leading-index
-  store; the caller transposes to NHWC (cheap in XLA).
+* **Tap planes + per-row MXU dots.**  The 4x9 conv window planes are
+  materialized once per image into VMEM scratch (a direct sublane-concat of
+  window rows is rejected: "offset mismatch on non-concat dimension"), then
+  a ``fori_loop`` walks output rows computing each phase's conv row as ONE
+  matmul ``w [C, 9] @ P [9, w2]`` and pooling across phases, 4-row
+  unrolled for ILP.  The output layout is ``[B, h2, C, w2]`` so a row write
+  is a leading-index store; the caller transposes to NHWC (cheap in XLA).
+  Planes stay f32: bf16 scratch demands 8-aligned dynamic sublane indices.
 * **Compact custom VJP.**  The layer input comes from the (stop-gradient)
   transform, so no input gradient is needed — only ``dW [9, C]``, ``db [C]``
   and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM and
@@ -29,12 +31,13 @@ Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
 fp32 roundoff (compute is fp32 in-kernel regardless of storage dtype).
 Tests run the kernel in interpreter mode on CPU.
 
-STATUS — experimental, off by default: measured on v5e the fused step is
-currently *slower* than the XLA path (33.9 vs 16.6 ms/step at batch 128) —
-the row-loop issues 36 rank-1 VPU MACs per output row on a small [64, 129]
-tile and the ``fori_loop`` defeats pipelining, which costs more than the
-saved HBM round-trips.  Next iteration (TODO.md): multi-row tiles per loop
-step and wider lane utilization.
+STATUS — experimental, off by default.  Round-1 version (rank-1 VPU MACs):
+33.9 ms/step vs 16.6 XLA.  Round-2 rework (MXU dots + tap-plane scratch +
+4-row unroll): **15.35 ms/step vs 13.8 XLA** — 2.2x faster than round 1 but
+still behind XLA's schedule: 192 tiny [64,9]x[9,129] dots per image are
+fixed-overhead-bound, and the [*,129]-lane tiles waste half the lane tile.
+To win, a future revision must batch rows into each dot's N dimension,
+which requires a lane-major flattening Mosaic currently rejects.
 """
 
 from __future__ import annotations
@@ -61,7 +64,9 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     b, h, w = x.shape
     x_pad = jnp.pad(
         x, ((0, 0), (PAD, 2 * h2 + 4 - h - PAD), (PAD, 2 * w2 + 4 - w - PAD))
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)  # f32 planes: bf16 scratch would need 8-aligned
+    # dynamic sublane indices ("cannot statically prove index in dim 2 is a
+    # multiple of 8"); 32-bit lifts that constraint
     return jnp.stack(
         [
             jnp.stack([x_pad[:, 0::2, 0::2], x_pad[:, 0::2, 1::2]], axis=1),
@@ -71,45 +76,73 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     )  # [B, a, b, h2+2, w2+2]
 
 
-def _conv_row(xph_ref, wt, bias_col, h, a_off, b_off, w2, c):
-    """Conv row at output positions (2h+a_off, 2j+b_off): ``[C, w2]``.
+def _build_tap_planes(xph_ref, p_ref, h2, w2):
+    """Copy the 4x9 conv tap planes into scratch, layout-normalized.
 
-    ``xph_ref``: [1, 2, 2, h2+2, w2+2] phase ref (dynamic slicing must go
-    through the ref — Mosaic has no dynamic_slice on values); ``wt``:
-    [C, 16] transposed taps (taps 0-8 used); ``bias_col``: [C, 1].
+    ``p_ref``: [4, 16, h2, w2] VMEM scratch (taps 0-8 used; phases indexed
+    by ``_PHASES`` order).  A direct sublane-concat of the 9 window rows is
+    rejected by Mosaic ("offset mismatch on non-concat dimension": the
+    slices carry different lane offsets), so the planes are materialized
+    once per image through stores — 36 static 2-D copies — and every
+    row-step then reads a clean [9, 1, w2] block.
     """
-    acc = None
-    for dh in range(K):
-        for dw in range(K):
-            oh, ow = a_off + dh, b_off + dw
-            win = xph_ref[
-                0, oh % 2, ow % 2, pl.ds(h + oh // 2, 1), pl.ds(ow // 2, w2)
-            ]  # [1, w2]
-            term = wt[:, dh * K + dw : dh * K + dw + 1] * win  # [C, w2]
-            acc = term if acc is None else acc + term
-    return acc + bias_col
+    for ph, (a, b) in enumerate(_PHASES):
+        for dh in range(K):
+            for dw in range(K):
+                oh, ow = a + dh, b + dw
+                p_ref[ph, dh * K + dw] = xph_ref[
+                    0, oh % 2, ow % 2,
+                    (oh // 2) : (oh // 2) + h2,
+                    (ow // 2) : (ow // 2) + w2,
+                ]
 
 
-def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref):
+def _conv_row(p_ref, wt, bias_col, h, phase_idx, w2, c):
+    """Conv row at output row ``h`` for phase ``phase_idx``: ``[C, w2]``.
+
+    One MXU matmul ``w [C, 9] @ P [9, w2]`` per phase-row instead of nine
+    rank-1 VPU MACs (the round-1 kernel's bottleneck).  ``wt``: [C, 16]
+    transposed taps (taps 0-8 used); ``bias_col``: [C, 1].
+    """
+    patches = p_ref[phase_idx, 0:9, pl.ds(h, 1), :].reshape(9, w2)
+    conv = jax.lax.dot_general(
+        wt[:, :9],
+        patches,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C, w2]
+    return conv + bias_col, patches
+
+
+def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref, p_ref):
     h2, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     alpha = alpha_ref[0, 0]
+    _build_tap_planes(xph_ref, p_ref, h2, w2)
+    wt = wt_ref[...]
+    bias_col = b_ref[...]
 
-    def row(h, carry):
-        pooled = None
-        for a, b in _PHASES:
-            conv = _conv_row(
-                xph_ref, wt_ref[...], b_ref[...], h, a, b, w2, c
+    # 4-row unroll: 16 independent dots per loop step give the scheduler
+    # ILP that a single-row body lacks (h2 = 48 is divisible by 4)
+    unroll = 4 if h2 % 4 == 0 else 1
+
+    def row_block(hb, carry):
+        for r in range(unroll):
+            h = hb * unroll + r
+            pooled = None
+            for ph in range(len(_PHASES)):
+                conv, _ = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
+                act = jnp.where(conv >= 0, conv, alpha * conv)
+                pooled = act if pooled is None else jnp.maximum(pooled, act)
+            out_ref[0, pl.ds(h, 1)] = pooled.reshape(1, c, w2).astype(
+                out_ref.dtype
             )
-            act = jnp.where(conv >= 0, conv, alpha * conv)
-            pooled = act if pooled is None else jnp.maximum(pooled, act)
-        out_ref[0, pl.ds(h, 1)] = pooled.reshape(1, c, w2).astype(out_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, h2, row, 0)
+    jax.lax.fori_loop(0, h2 // unroll, row_block, 0)
 
 
 def _bwd_kernel(
-    xph_ref, wt_ref, b_ref, alpha_ref, g_ref, dwt_ref, db_ref, da_ref
+    xph_ref, wt_ref, b_ref, alpha_ref, g_ref, dwt_ref, db_ref, da_ref, p_ref
 ):
     i = pl.program_id(0)
 
@@ -123,24 +156,26 @@ def _bwd_kernel(
     alpha = alpha_ref[0, 0]
     wt = wt_ref[...]
     bias_col = b_ref[...]
+    _build_tap_planes(xph_ref, p_ref, h2, w2)
 
     def row(h, carry):
-        # per-tap [C, 1] accumulators: .at[...].add on values would lower to
-        # an unsupported scatter-add
-        dtaps, db_acc, da_acc = carry
+        # [C, 9] kernel-grad accumulator (one MXU dot per phase-row:
+        # d_conv [C, w2] contracted with patches [9, w2] over w2)
+        dk_acc, db_acc, da_acc = carry
         g = g_ref[0, pl.ds(h, 1)].reshape(c, w2).astype(jnp.float32)
         convs = []
         acts = []
-        for a, b in _PHASES:
-            conv = _conv_row(xph_ref, wt, bias_col, h, a, b, w2, c)
+        patches = []
+        for ph in range(len(_PHASES)):
+            conv, p = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
+            patches.append(p)
             convs.append(conv)
             acts.append(jnp.where(conv >= 0, conv, alpha * conv))
         m = jnp.maximum(
             jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
-        dtaps = list(dtaps)
         taken = None
-        for idx, (a, b) in enumerate(_PHASES):
+        for idx in range(len(_PHASES)):
             is_max = acts[idx] == m
             if taken is None:
                 sel = is_max
@@ -153,30 +188,25 @@ def _bwd_kernel(
             d_conv = jnp.where(neg, alpha * d_act, d_act)  # [C, w2]
             da_acc = da_acc + jnp.sum(jnp.where(neg, convs[idx] * d_act, 0.0))
             db_acc = db_acc + jnp.sum(d_conv, axis=1, keepdims=True)
-            for dh in range(K):
-                for dw in range(K):
-                    oh, ow = a + dh, b + dw
-                    win = xph_ref[
-                        0, oh % 2, ow % 2,
-                        pl.ds(h + oh // 2, 1), pl.ds(ow // 2, w2),
-                    ]  # [1, w2]
-                    contrib = jnp.sum(d_conv * win, axis=1, keepdims=True)
-                    tap = dh * K + dw
-                    dtaps[tap] = dtaps[tap] + contrib
-        return tuple(dtaps), db_acc, da_acc
+            dk_acc = dk_acc + jax.lax.dot_general(
+                d_conv,
+                patches[idx],
+                (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [C, 9]
+                preferred_element_type=jnp.float32,
+            )
+        return dk_acc, db_acc, da_acc
 
-    dtaps, db_acc, da_acc = jax.lax.fori_loop(
+    dk_acc, db_acc, da_acc = jax.lax.fori_loop(
         0,
         h2,
         row,
         (
-            tuple(jnp.zeros((c, 1), jnp.float32) for _ in range(9)),
+            jnp.zeros((c, 9), jnp.float32),
             jnp.zeros((c, 1), jnp.float32),
             jnp.zeros((), jnp.float32),
         ),
     )
-    for tap in range(9):
-        dwt_ref[:, tap : tap + 1] += dtaps[tap]
+    dwt_ref[:, :9] += dk_acc
     db_ref[...] += db_acc
     da_ref[0, 0] += da_acc
 
@@ -225,6 +255,7 @@ def _fused_fwd_impl(x, w, b, alpha):
             (1, h2, c, w2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
+        scratch_shapes=[pltpu.VMEM((4, 16, h2, w2), jnp.float32)],
         interpret=interpret,
     )(xph, wt, bias_col, alpha2)
     return jnp.transpose(out, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
@@ -273,6 +304,7 @@ def _fused_bwd(res, g):
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((4, 16, h2, w2), jnp.float32)],
         interpret=interpret,
     )(xph, wt, bias_col, alpha2, g_t)
     return (
