@@ -25,10 +25,14 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BatchNorm, Conv2d, Dropout, PReLU, max_pool_2x2
-
-
-from .layers import ConvScope as _ConvScope  # noqa: E402  (param-tree helper)
+from .layers import (
+    BatchNorm,
+    Conv2d,
+    ConvScope as _ConvScope,
+    Dropout,
+    PReLU,
+    max_pool_2x2,
+)
 
 
 class _AlphaScope(nn.Module):
