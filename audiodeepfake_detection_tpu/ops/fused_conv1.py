@@ -13,14 +13,15 @@ sub-32-bit scalar extracts):
 * **Phase decomposition.**  The input is pre-split in XLA into its four
   parity phases ``x[a::2, b::2]``; every pool-window position then reads 9
   contiguous slices — no strided access in-kernel.
-* **Tap planes + per-row MXU dots.**  The 4x9 conv window planes are
-  materialized once per image into VMEM scratch (a direct sublane-concat of
-  window rows is rejected: "offset mismatch on non-concat dimension"), then
-  a ``fori_loop`` walks output rows computing each phase's conv row as ONE
-  matmul ``w [C, 9] @ P [9, w2]`` and pooling across phases, 4-row
-  unrolled for ILP.  The output layout is ``[B, h2, C, w2]`` so a row write
-  is a leading-index store; the caller transposes to NHWC (cheap in XLA).
-  Planes stay f32: bf16 scratch demands 8-aligned dynamic sublane indices.
+* **Tap planes + per-row MXU dots over a pipelined grid.**  The 4x9 conv
+  window planes are materialized once per image into VMEM scratch (a direct
+  sublane-concat of window rows is rejected: "offset mismatch on non-concat
+  dimension"), then a (batch, row-block) GRID — which Mosaic pipelines,
+  unlike an in-kernel ``fori_loop`` — computes each phase's conv row as ONE
+  matmul ``w [C, 9] @ P [9, w2]`` and pools across phases.  The output
+  layout is ``[B, h2, C, w2]`` so a row write is a leading-index store; the
+  caller transposes to NHWC (cheap in XLA).  Planes stay f32: bf16 scratch
+  demands 8-aligned dynamic sublane indices, as do per-cell plane builds.
 * **Compact custom VJP.**  The layer input comes from the (stop-gradient)
   transform, so no input gradient is needed — only ``dW [9, C]``, ``db [C]``
   and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM and
@@ -31,13 +32,15 @@ Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
 fp32 roundoff (compute is fp32 in-kernel regardless of storage dtype).
 Tests run the kernel in interpreter mode on CPU.
 
-STATUS — experimental, off by default.  Round-1 version (rank-1 VPU MACs):
-33.9 ms/step vs 16.6 XLA.  Round-2 rework (MXU dots + tap-plane scratch +
-4-row unroll): **15.35 ms/step vs 13.8 XLA** — 2.2x faster than round 1 but
-still behind XLA's schedule: 192 tiny [64,9]x[9,129] dots per image are
-fixed-overhead-bound, and the [*,129]-lane tiles waste half the lane tile.
-To win, a future revision must batch rows into each dot's N dimension,
-which requires a lane-major flattening Mosaic currently rejects.
+STATUS — experimental, off by default.  Measured train-step series on v5e
+(batch 128): round-1 rank-1 VPU MACs 33.9 ms vs 16.6 XLA; round-2 MXU dots
++ fori_loop 15.35 ms; round-2 final (grid-pipelined row blocks) **14.45 ms
+vs 13.8 XLA** — 2.3x faster than round 1, 0.65 ms short of XLA's schedule.
+Remaining gap: 192 tiny [64,9]x[9,129] dots per image are
+fixed-overhead-bound and the 129-lane tiles waste half the lane tile; a
+winning version must batch rows into each dot's N dimension, which needs a
+lane-major flattening Mosaic currently rejects (and per-cell plane builds /
+bf16 scratch hit the 8-aligned-dynamic-sublane-index constraint).
 """
 
 from __future__ import annotations
@@ -82,9 +85,10 @@ def _build_tap_planes(xph_ref, p_ref, h2, w2):
     ``p_ref``: [4, 16, h2, w2] VMEM scratch (taps 0-8 used; phases indexed
     by ``_PHASES`` order).  A direct sublane-concat of the 9 window rows is
     rejected by Mosaic ("offset mismatch on non-concat dimension": the
-    slices carry different lane offsets), so the planes are materialized
-    once per image through stores — 36 static 2-D copies — and every
-    row-step then reads a clean [9, 1, w2] block.
+    slices carry different lane offsets), and per-cell builds need dynamic
+    sublane starts Mosaic cannot prove 8-aligned — so the planes are
+    materialized once per image (first row-block cell) through 36 static
+    2-D copies; row-steps then read clean [9, 1, w2] blocks.
     """
     for ph, (a, b) in enumerate(_PHASES):
         for dh in range(K):
@@ -114,55 +118,66 @@ def _conv_row(p_ref, wt, bias_col, h, phase_idx, w2, c):
     return conv + bias_col, patches
 
 
+def _rows_per_cell(h2: int) -> int:
+    for r in (8, 6, 4, 3, 2):
+        if h2 % r == 0:
+            return r
+    return 1
+
+
 def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref, p_ref):
-    h2, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    """Grid = (batch, row-blocks): Mosaic pipelines grid cells (overlapped
+    DMA/compute), unlike a serial in-kernel ``fori_loop`` over rows."""
+    rows, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    h2 = p_ref.shape[2]
+    hb = pl.program_id(1)
     alpha = alpha_ref[0, 0]
-    _build_tap_planes(xph_ref, p_ref, h2, w2)
+
+    @pl.when(hb == 0)
+    def _():
+        _build_tap_planes(xph_ref, p_ref, h2, w2)
+
     wt = wt_ref[...]
     bias_col = b_ref[...]
-
-    # 4-row unroll: 16 independent dots per loop step give the scheduler
-    # ILP that a single-row body lacks (h2 = 48 is divisible by 4)
-    unroll = 4 if h2 % 4 == 0 else 1
-
-    def row_block(hb, carry):
-        for r in range(unroll):
-            h = hb * unroll + r
-            pooled = None
-            for ph in range(len(_PHASES)):
-                conv, _ = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
-                act = jnp.where(conv >= 0, conv, alpha * conv)
-                pooled = act if pooled is None else jnp.maximum(pooled, act)
-            out_ref[0, pl.ds(h, 1)] = pooled.reshape(1, c, w2).astype(
-                out_ref.dtype
-            )
-        return carry
-
-    jax.lax.fori_loop(0, h2 // unroll, row_block, 0)
+    for r in range(rows):
+        h = hb * rows + r
+        pooled = None
+        for ph in range(len(_PHASES)):
+            conv, _ = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
+            act = jnp.where(conv >= 0, conv, alpha * conv)
+            pooled = act if pooled is None else jnp.maximum(pooled, act)
+        out_ref[0, r] = pooled.astype(out_ref.dtype)
 
 
 def _bwd_kernel(
     xph_ref, wt_ref, b_ref, alpha_ref, g_ref, dwt_ref, db_ref, da_ref, p_ref
 ):
-    i = pl.program_id(0)
+    i, hb = pl.program_id(0), pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, hb == 0))
     def _():
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
         da_ref[0, 0] = 0.0  # SMEM: scalar stores only
 
-    h2, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    rows, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    h2 = p_ref.shape[2]
     alpha = alpha_ref[0, 0]
     wt = wt_ref[...]
     bias_col = b_ref[...]
-    _build_tap_planes(xph_ref, p_ref, h2, w2)
 
-    def row(h, carry):
-        # [C, 9] kernel-grad accumulator (one MXU dot per phase-row:
-        # d_conv [C, w2] contracted with patches [9, w2] over w2)
-        dk_acc, db_acc, da_acc = carry
-        g = g_ref[0, pl.ds(h, 1)].reshape(c, w2).astype(jnp.float32)
+    @pl.when(hb == 0)
+    def _():
+        _build_tap_planes(xph_ref, p_ref, h2, w2)
+
+    # [C, 9] kernel-grad accumulator (one MXU dot per phase-row:
+    # d_conv [C, w2] contracted with patches [9, w2] over w2)
+    dk_acc = jnp.zeros((c, 9), jnp.float32)
+    db_acc = jnp.zeros((c, 1), jnp.float32)
+    da_acc = jnp.zeros((), jnp.float32)
+    for r in range(rows):
+        h = hb * rows + r
+        g = g_ref[0, r].astype(jnp.float32)  # [C, w2]
         convs = []
         acts = []
         patches = []
@@ -194,18 +209,6 @@ def _bwd_kernel(
                 (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [C, 9]
                 preferred_element_type=jnp.float32,
             )
-        return dk_acc, db_acc, da_acc
-
-    dk_acc, db_acc, da_acc = jax.lax.fori_loop(
-        0,
-        h2,
-        row,
-        (
-            jnp.zeros((c, 9), jnp.float32),
-            jnp.zeros((c, 1), jnp.float32),
-            jnp.zeros((), jnp.float32),
-        ),
-    )
     dwt_ref[:, :9] += dk_acc
     db_ref[...] += db_acc
     da_ref[0, 0] += da_acc
@@ -235,24 +238,26 @@ def _fused_fwd_impl(x, w, b, alpha):
     xph = _phases(x, h2, w2)
     wt, bias_col, alpha2 = _prep_params(w, b, alpha)
     interpret = jax.default_backend() != "tpu"
+    rows = _rows_per_cell(h2)
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=(bsz,),
+        grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
-                (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
+                (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                bias_col.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                bias_col.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                alpha2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h2, c, w2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
         scratch_shapes=[pltpu.VMEM((4, 16, h2, w2), jnp.float32)],
@@ -274,30 +279,32 @@ def _fused_bwd(res, g):
     wt, bias_col, alpha2 = _prep_params(w, b, alpha)
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(jnp.float32)  # [B, h2, C, w2]
     interpret = jax.default_backend() != "tpu"
+    rows = _rows_per_cell(h2)
     dwt, db, da = pl.pallas_call(
         _bwd_kernel,
-        grid=(bsz,),
+        grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
-                (1,) + xph.shape[1:], lambda i: (i, 0, 0, 0, 0),
+                (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                bias_col.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                bias_col.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                alpha2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, h2, c, w2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 16), lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
             # scalar accumulator lives in SMEM (VMEM cannot store scalars)
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, hb: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((c, 16), jnp.float32),
