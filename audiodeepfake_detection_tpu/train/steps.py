@@ -185,6 +185,10 @@ def make_eval_step(
     tail entries of the final partial batch.
     """
 
+    return jax.jit(_eval_step_body(model, transform))
+
+
+def _eval_step_body(model, transform):
     def eval_step(params, batch_stats, batch):
         audio = audio_to_float(batch["audio"])
         labels = batch["label"].astype(jnp.int32)
@@ -211,4 +215,25 @@ def make_eval_step(
             "ok_mask": ok > 0,
         }
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_multi_eval_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """G eval batches in ONE dispatch (``lax.scan``); results stack [G, ...].
+
+    The eval-side twin of :func:`make_multi_train_step` — for serving/eval
+    paths where per-dispatch latency dominates the 3.5 ms eval step.
+    """
+    body = _eval_step_body(model, transform)
+
+    def multi_eval(params, batch_stats, batches):
+        def step(carry, batch):
+            return carry, body(params, batch_stats, batch)
+
+        _, stacked = jax.lax.scan(step, 0, batches)
+        return stacked
+
+    return jax.jit(multi_eval)

@@ -84,6 +84,7 @@ class Trainer:
         # with fresh inputs; see steps.make_multi_train_step)
         self.steps_per_call = int(args.get("steps_per_call") or 1)
         self.multi_train_step = None
+        self.multi_eval_step = None  # built lazily in val_test_loop
         if self.steps_per_call > 1:
             from .steps import make_multi_train_step
 
@@ -289,12 +290,14 @@ class Trainer:
         count_label = None
         device_results = []
         host_batches = []
-        for batch in loader.epoch(0, shuffle=False):
-            device_batch = shard_batch(self.mesh, batch)  # async H2D
-            res = self.eval_step(
-                self.state.params, self.state.batch_stats, device_batch
+
+        def consume(res, batch):
+            nonlocal ok_label, count_label
+            ok_label = (
+                res["ok_per_label"]
+                if ok_label is None
+                else ok_label + res["ok_per_label"]
             )
-            ok_label = res["ok_per_label"] if ok_label is None else ok_label + res["ok_per_label"]
             count_label = (
                 res["count_per_label"]
                 if count_label is None
@@ -309,6 +312,45 @@ class Trainer:
                     batch.get("index"),
                 )
             )
+
+        spc = self.steps_per_call
+        if spc > 1 and self.multi_eval_step is None:
+            from .steps import make_multi_eval_step
+
+            self.multi_eval_step = make_multi_eval_step(
+                self.model, self.transform
+            )
+        buf = []
+
+        def flush_group():
+            from .steps import stack_batches
+
+            group = stack_batches(buf)
+            device_group = shard_batch(self.mesh, group, batch_axis=1)
+            stacked = self.multi_eval_step(
+                self.state.params, self.state.batch_stats, device_group
+            )
+            for g, b in enumerate(buf):
+                consume(jax.tree.map(lambda s, g=g: s[g], stacked), b)
+            buf.clear()
+
+        for batch in loader.epoch(0, shuffle=False):
+            if spc > 1:
+                buf.append(batch)
+                if len(buf) == spc:
+                    flush_group()
+                continue
+            device_batch = shard_batch(self.mesh, batch)  # async H2D
+            res = self.eval_step(
+                self.state.params, self.state.batch_stats, device_batch
+            )
+            consume(res, batch)
+        for batch in buf:  # remainder of a partial group: single dispatches
+            device_batch = shard_batch(self.mesh, batch)
+            res = self.eval_step(
+                self.state.params, self.state.batch_stats, device_batch
+            )
+            consume(res, batch)
 
         if ok_label is None:
             return 0.0, 0.0

@@ -224,3 +224,54 @@ class TestInt16Batches:
         np.testing.assert_allclose(
             np.asarray(r16["scores"]), np.asarray(r32["scores"]), rtol=1e-6
         )
+
+
+class TestMultiEval:
+    def test_scan_eval_equals_single_eval(self):
+        import jax
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_eval_step,
+            make_multi_eval_step,
+            make_optimizer,
+            stack_batches,
+        )
+
+        model = DCNN(
+            time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+            ochannels4=8, ochannels5=2, with_dropout=False,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        rng = np.random.RandomState(0)
+        batches = [
+            {
+                "audio": rng.randn(4, 1, 2048).astype(np.float32),
+                "label": rng.randint(0, 3, 4).astype(np.int32),
+                "weight": (rng.rand(4) > 0.2).astype(np.float32),
+            }
+            for _ in range(3)
+        ]
+        img = transform(jnp.asarray(batches[0]["audio"]))
+        state = create_train_state(
+            model, make_optimizer(4e-4, 1e-3), img, seed=0
+        )
+        single = make_eval_step(model, transform)
+        multi = make_multi_eval_step(model, transform)
+        stacked = multi(
+            state.params, state.batch_stats, stack_batches(batches)
+        )
+        for g, b in enumerate(batches):
+            res = single(state.params, state.batch_stats, b)
+            got = jax.tree.map(lambda s, g=g: s[g], stacked)
+            for key in res:
+                np.testing.assert_allclose(
+                    np.asarray(res[key]), np.asarray(got[key]), rtol=1e-6,
+                    err_msg=key,
+                )
