@@ -32,6 +32,7 @@ from ..utils.config import DotDict
 from .metrics import calculate_acc_label, dense_counts_to_dicts, safe_eer
 from .steps import (
     TrainState,
+    audio_to_float,
     create_train_state,
     make_eval_step,
     make_optimizer,
@@ -111,7 +112,9 @@ class Trainer:
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> None:
         if self.state is not None:
             return
-        image = self.transform(jnp.asarray(example_batch["audio"][:2]))
+        image = self.transform(
+            audio_to_float(jnp.asarray(example_batch["audio"][:2]))
+        )
         self.state = create_train_state(
             self.model, self.tx, image, seed=int(self.args.seed or 0)
         )
@@ -244,7 +247,9 @@ class Trainer:
         try:
             import flax.linen as nn
 
-            image = self.transform(jnp.asarray(example_batch["audio"][:2]))
+            image = self.transform(
+            audio_to_float(jnp.asarray(example_batch["audio"][:2]))
+        )
             table = nn.tabulate(
                 self.model, jax.random.key(0), compute_flops=False
             )(image, train=False)

@@ -275,3 +275,33 @@ class TestMultiEval:
                     np.asarray(res[key]), np.asarray(got[key]), rtol=1e-6,
                     err_msg=key,
                 )
+
+
+def test_trainer_init_state_accepts_int16_batch():
+    """Regression: with the frame cache's int16 batches, Trainer.init_state
+    used to feed raw PCM into the transform — only the TPU Pallas WPT
+    rejects the dtype, so this slipped past CPU tests."""
+    from audiodeepfake_detection_tpu.models import DCNN
+    from audiodeepfake_detection_tpu.ops.wpt import packet_image
+    from audiodeepfake_detection_tpu.train.trainer import Trainer
+    from audiodeepfake_detection_tpu.utils.config import default_config
+
+    args = default_config()
+    args.update(seed=0, learning_rate=4e-4, weight_decay=1e-3)
+    model = DCNN(
+        time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+        ochannels4=8, ochannels5=2,
+    )
+
+    def transform(audio):
+        return packet_image(audio, "haar", level=8, log_scale=True)
+
+    trainer = Trainer(model, transform, args, snapshot_path="/tmp/t16")
+    batch = {
+        "audio": (np.random.RandomState(0).randn(4, 1, 2048) * 4000).astype(
+            np.int16
+        ),
+        "label": np.zeros(4, np.int32),
+    }
+    trainer.init_state(batch)
+    assert trainer.state is not None
