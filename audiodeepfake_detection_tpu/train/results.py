@@ -55,6 +55,10 @@ def print_results(
         return None
     if results.ndim == 2:
         results = results[:, None, :]  # single config -> (seeds, 1, 4)
+    if results.shape[-1] < 4:
+        # no testing ran (e.g. only_ig mode): nothing to tabulate
+        print("(no test results to aggregate)")
+        return None
 
     if args.transform == "packets":
         if griderator is not None and "wavelet" in griderator.init_config:

@@ -86,3 +86,12 @@ class TestPaperTables:
         assert buf.getvalue() == _golden("paper_tables.txt")
         golden = json.loads(_golden("paper_tables.json"))
         assert out == golden
+
+
+class TestOnlyIGMode:
+    def test_empty_result_tuples_do_not_crash(self, tmp_path, capsys):
+        """only_ig mode accumulates empty test_results tuples; aggregation
+        must degrade gracefully instead of indexing a zero-width array."""
+        args = DotDict(transform="packets", wavelet="haar", log_dir=str(tmp_path))
+        assert print_results(args, {0: [()]}, None) is None
+        assert "no test results" in capsys.readouterr().out
