@@ -13,38 +13,43 @@ sub-32-bit scalar extracts):
 * **Phase decomposition.**  The input is pre-split in XLA into its four
   parity phases ``x[a::2, b::2]``; every pool-window position then reads 9
   contiguous slices — no strided access in-kernel.
-* **Tap planes + per-row MXU dots over a pipelined grid.**  The 4x9 conv
-  window planes are materialized once per image into VMEM scratch (a direct
-  sublane-concat of window rows is rejected: "offset mismatch on non-concat
-  dimension"), then a (batch, row-block) GRID — which Mosaic pipelines,
-  unlike an in-kernel ``fori_loop`` — computes each phase's conv row as ONE
-  matmul ``w [C, 9] @ P [9, w2]`` and pools across phases.  The output
-  layout is ``[B, h2, C, w2]`` so a row write is a leading-index store; the
-  caller transposes to NHWC (cheap in XLA).  Planes stay f32: bf16 scratch
-  demands 8-aligned dynamic sublane indices, as do per-cell plane builds.
+* **Block-diagonal phase-merged MXU dots.**  The 4x9 conv tap planes are
+  materialized once per image into VMEM scratch (a direct sublane-concat of
+  window rows is rejected: "offset mismatch on non-concat dimension"), laid
+  out as 36 planes ``[4*9, h2, w2]``.  A (batch, row-block) GRID — which
+  Mosaic pipelines, unlike an in-kernel ``fori_loop`` — then computes ALL
+  FOUR phases' conv rows as ONE matmul ``W4 [4C, 36] @ P [36, w2]`` with a
+  block-diagonal weight matrix (phase ``ph`` occupies rows ``ph*C..`` and
+  taps ``ph*9..``), and pools across the four sublane blocks.  This
+  quadruples the MXU contraction depth (K=36 vs 9) and quarters the number
+  of dot issues vs the previous per-phase formulation.  The output layout
+  is ``[B, h2, C, w2]`` so a row write is a leading-index store; the caller
+  transposes to NHWC (cheap in XLA).  Planes stay f32 in VMEM (bf16 scratch
+  demands 8-aligned dynamic sublane indices) but the dot OPERANDS are cast
+  to bf16 when the layer input is bf16 — matching the XLA speed path's
+  Precision.DEFAULT conv semantics and the MXU's native rate; fp32 inputs
+  keep fp32 dots, so parity paths stay fp32-exact.
 * **Compact custom VJP.**  The layer input comes from the (stop-gradient)
   transform, so no input gradient is needed — only ``dW [9, C]``, ``db [C]``
-  and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM and
-  carries the small gradient accumulators through the row loop, with
-  first-match pool tie-breaking identical to the forward's nested maximum.
+  and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM (same
+  dots as the forward, so masks match bitwise) and carries block-merged
+  ``[4C, 36]`` gradient accumulators through the row loop, with first-match
+  pool tie-breaking identical to the forward's nested maximum; the diagonal
+  blocks are summed into ``dW`` outside the kernel.
 
 Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
-fp32 roundoff (compute is fp32 in-kernel regardless of storage dtype).
-Tests run the kernel in interpreter mode on CPU.
+fp32 roundoff for fp32 inputs (compute is fp32 in-kernel).  Tests run the
+kernel in interpreter mode on CPU.
 
-STATUS — experimental, off by default.  Measured train-step series on v5e
-(batch 128): round-1 rank-1 VPU MACs 33.9 ms vs 16.6 XLA; round-2 MXU dots
-+ fori_loop 15.35 ms; round-2 final (grid-pipelined row blocks) **14.45 ms
-vs 13.8 XLA** — 2.3x faster than round 1, 0.65 ms short of XLA's schedule.
-Remaining gap: 192 tiny [64,9]x[9,129] dots per image are
-fixed-overhead-bound and the 129-lane tiles waste half the lane tile; a
-winning version must batch rows into each dot's N dimension, which needs a
-lane-major flattening Mosaic currently rejects (and per-cell plane builds /
-bf16 scratch hit the 8-aligned-dynamic-sublane-index constraint).
+Measured train-step series on v5e (batch 128): round-1 rank-1 VPU MACs
+33.9 ms vs 16.6 XLA; round-2 per-phase MXU dots + fori_loop 15.35 ms;
++ grid-pipelined row blocks 14.45 vs 13.8 XLA; round-2 final (bf16 dot
+operands + block-diagonal phase merge) — see docs/benchmarks.md.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -55,6 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 2  # torch Conv2d(1, C, 3, stride=1, padding=2) — zero padding
 K = 3
 _PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+NPH = len(_PHASES)
+NTAP = K * K  # 9 taps per phase
 
 
 def _pad_geometry(h: int, w: int) -> Tuple[int, int]:
@@ -82,40 +89,41 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
 def _build_tap_planes(xph_ref, p_ref, h2, w2):
     """Copy the 4x9 conv tap planes into scratch, layout-normalized.
 
-    ``p_ref``: [4, 16, h2, w2] VMEM scratch (taps 0-8 used; phases indexed
-    by ``_PHASES`` order).  A direct sublane-concat of the 9 window rows is
-    rejected by Mosaic ("offset mismatch on non-concat dimension": the
-    slices carry different lane offsets), and per-cell builds need dynamic
-    sublane starts Mosaic cannot prove 8-aligned — so the planes are
-    materialized once per image (first row-block cell) through 36 static
-    2-D copies; row-steps then read clean [9, 1, w2] blocks.
+    ``p_ref``: [36, h2, w2] VMEM scratch, plane ``ph*9 + dh*3 + dw``.  A
+    direct sublane-concat of the 9 window rows is rejected by Mosaic
+    ("offset mismatch on non-concat dimension": the slices carry different
+    lane offsets), and per-cell builds need dynamic sublane starts Mosaic
+    cannot prove 8-aligned — so the planes are materialized once per image
+    (first row-block cell) through 36 static 2-D copies; row-steps then
+    read one clean [36, 1, w2] block.
     """
     for ph, (a, b) in enumerate(_PHASES):
         for dh in range(K):
             for dw in range(K):
                 oh, ow = a + dh, b + dw
-                p_ref[ph, dh * K + dw] = xph_ref[
+                p_ref[ph * NTAP + dh * K + dw] = xph_ref[
                     0, oh % 2, ow % 2,
                     (oh // 2) : (oh // 2) + h2,
                     (ow // 2) : (ow // 2) + w2,
                 ]
 
 
-def _conv_row(p_ref, wt, bias_col, h, phase_idx, w2, c):
-    """Conv row at output row ``h`` for phase ``phase_idx``: ``[C, w2]``.
+def _conv4_row(p_ref, w4, b4, h, w2, dot_dtype):
+    """All four phases' conv rows at output row ``h`` as ONE matmul.
 
-    One MXU matmul ``w [C, 9] @ P [9, w2]`` per phase-row instead of nine
-    rank-1 VPU MACs (the round-1 kernel's bottleneck).  ``wt``: [C, 16]
-    transposed taps (taps 0-8 used); ``bias_col``: [C, 1].
+    ``w4``: [4C, 36] block-diagonal taps (already cast to ``dot_dtype``);
+    returns ``conv4`` [4C, w2] f32 (+bias) and the [36, w2] patch matrix in
+    ``dot_dtype`` (reused by the backward's kernel-gradient dot).
     """
-    patches = p_ref[phase_idx, 0:9, pl.ds(h, 1), :].reshape(9, w2)
-    conv = jax.lax.dot_general(
-        wt[:, :9],
-        patches,
+    p36 = p_ref[0:NPH * NTAP, pl.ds(h, 1), :].reshape(NPH * NTAP, w2)
+    p36 = p36.astype(dot_dtype)
+    conv4 = jax.lax.dot_general(
+        w4,
+        p36,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [C, w2]
-    return conv + bias_col, patches
+    )  # [4C, w2]
+    return conv4 + b4, p36
 
 
 def _rows_per_cell(h2: int) -> int:
@@ -125,11 +133,11 @@ def _rows_per_cell(h2: int) -> int:
     return 1
 
 
-def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref, p_ref):
+def _fwd_kernel(xph_ref, w4_ref, b4_ref, alpha_ref, out_ref, p_ref, *, dot_dtype):
     """Grid = (batch, row-blocks): Mosaic pipelines grid cells (overlapped
     DMA/compute), unlike a serial in-kernel ``fori_loop`` over rows."""
     rows, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    h2 = p_ref.shape[2]
+    h2 = p_ref.shape[1]
     hb = pl.program_id(1)
     alpha = alpha_ref[0, 0]
 
@@ -137,60 +145,58 @@ def _fwd_kernel(xph_ref, wt_ref, b_ref, alpha_ref, out_ref, p_ref):
     def _():
         _build_tap_planes(xph_ref, p_ref, h2, w2)
 
-    wt = wt_ref[...]
-    bias_col = b_ref[...]
+    w4 = w4_ref[...].astype(dot_dtype)
+    b4 = b4_ref[...]
     for r in range(rows):
         h = hb * rows + r
-        pooled = None
-        for ph in range(len(_PHASES)):
-            conv, _ = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
-            act = jnp.where(conv >= 0, conv, alpha * conv)
-            pooled = act if pooled is None else jnp.maximum(pooled, act)
+        conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
+        act4 = jnp.where(conv4 >= 0, conv4, alpha * conv4)
+        pooled = jnp.maximum(
+            jnp.maximum(act4[0:c], act4[c : 2 * c]),
+            jnp.maximum(act4[2 * c : 3 * c], act4[3 * c : 4 * c]),
+        )
         out_ref[0, r] = pooled.astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    xph_ref, wt_ref, b_ref, alpha_ref, g_ref, dwt_ref, db_ref, da_ref, p_ref
+    xph_ref, w4_ref, b4_ref, alpha_ref, g_ref, dw4_ref, db4_ref, da_ref, p_ref,
+    *, dot_dtype,
 ):
     i, hb = pl.program_id(0), pl.program_id(1)
 
     @pl.when(jnp.logical_and(i == 0, hb == 0))
     def _():
-        dwt_ref[...] = jnp.zeros_like(dwt_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
+        dw4_ref[...] = jnp.zeros_like(dw4_ref)
+        db4_ref[...] = jnp.zeros_like(db4_ref)
         da_ref[0, 0] = 0.0  # SMEM: scalar stores only
 
     rows, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
-    h2 = p_ref.shape[2]
+    h2 = p_ref.shape[1]
     alpha = alpha_ref[0, 0]
-    wt = wt_ref[...]
-    bias_col = b_ref[...]
+    w4 = w4_ref[...].astype(dot_dtype)
+    b4 = b4_ref[...]
 
     @pl.when(hb == 0)
     def _():
         _build_tap_planes(xph_ref, p_ref, h2, w2)
 
-    # [C, 9] kernel-grad accumulator (one MXU dot per phase-row:
-    # d_conv [C, w2] contracted with patches [9, w2] over w2)
-    dk_acc = jnp.zeros((c, 9), jnp.float32)
-    db_acc = jnp.zeros((c, 1), jnp.float32)
+    # [4C, 36] block-merged kernel-grad accumulator (one MXU dot per row:
+    # d_conv4 [4C, w2] contracted with patches [36, w2] over w2)
+    dk_acc = jnp.zeros((NPH * c, NPH * NTAP), jnp.float32)
+    db_acc = jnp.zeros((NPH * c, 1), jnp.float32)
     da_acc = jnp.zeros((), jnp.float32)
     for r in range(rows):
         h = hb * rows + r
         g = g_ref[0, r].astype(jnp.float32)  # [C, w2]
-        convs = []
-        acts = []
-        patches = []
-        for ph in range(len(_PHASES)):
-            conv, p = _conv_row(p_ref, wt, bias_col, h, ph, w2, c)
-            patches.append(p)
-            convs.append(conv)
-            acts.append(jnp.where(conv >= 0, conv, alpha * conv))
+        conv4, p36 = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
+        act4 = jnp.where(conv4 >= 0, conv4, alpha * conv4)
+        acts = [act4[idx * c : (idx + 1) * c] for idx in range(NPH)]
         m = jnp.maximum(
             jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
+        d_parts = []
         taken = None
-        for idx in range(len(_PHASES)):
+        for idx in range(NPH):
             is_max = acts[idx] == m
             if taken is None:
                 sel = is_max
@@ -198,19 +204,20 @@ def _bwd_kernel(
             else:
                 sel = jnp.logical_and(is_max, jnp.logical_not(taken))
                 taken = jnp.logical_or(taken, is_max)
-            d_act = jnp.where(sel, g, 0.0)
-            neg = convs[idx] < 0
-            d_conv = jnp.where(neg, alpha * d_act, d_act)  # [C, w2]
-            da_acc = da_acc + jnp.sum(jnp.where(neg, convs[idx] * d_act, 0.0))
-            db_acc = db_acc + jnp.sum(d_conv, axis=1, keepdims=True)
-            dk_acc = dk_acc + jax.lax.dot_general(
-                d_conv,
-                patches[idx],
-                (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [C, 9]
-                preferred_element_type=jnp.float32,
-            )
-    dwt_ref[:, :9] += dk_acc
-    db_ref[...] += db_acc
+            d_parts.append(jnp.where(sel, g, 0.0))
+        d_act4 = jnp.concatenate(d_parts, axis=0)  # [4C, w2]
+        neg4 = conv4 < 0
+        d_conv4 = jnp.where(neg4, alpha * d_act4, d_act4)
+        da_acc = da_acc + jnp.sum(jnp.where(neg4, conv4 * d_act4, 0.0))
+        db_acc = db_acc + jnp.sum(d_conv4, axis=1, keepdims=True)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            d_conv4.astype(dot_dtype),
+            p36,
+            (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [4C, 36]
+            preferred_element_type=jnp.float32,
+        )
+    dw4_ref[...] += dk_acc
+    db4_ref[...] += db_acc
     da_ref[0, 0] += da_acc
 
 
@@ -220,15 +227,22 @@ def fused_conv1_prelu_pool(x, w, b, alpha):
     return _fused_fwd_impl(x, w, b, alpha)
 
 
+def _dot_dtype(x):
+    # bf16 inputs take the MXU's native rate (matches the XLA speed path's
+    # Precision.DEFAULT convs); fp32 parity paths keep fp32 dots.
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _prep_params(w, b, alpha):
-    wt = (
-        jnp.zeros((w.shape[1], 16), jnp.float32)
-        .at[:, :9]
-        .set(w.astype(jnp.float32).T)
-    )  # [C, 16] lane-padded transposed taps
-    bias_col = b.astype(jnp.float32)[:, None]  # [C, 1]
+    """Block-diagonal phase-merged weights [4C, 36], bias [4C, 1], alpha."""
+    c = w.shape[1]
+    wt = w.astype(jnp.float32).T  # [C, 9]
+    w4 = jnp.zeros((NPH * c, NPH * NTAP), jnp.float32)
+    for ph in range(NPH):
+        w4 = w4.at[ph * c : (ph + 1) * c, ph * NTAP : (ph + 1) * NTAP].set(wt)
+    b4 = jnp.tile(b.astype(jnp.float32), NPH)[:, None]  # [4C, 1]
     alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
-    return wt, bias_col, alpha2
+    return w4, b4, alpha2
 
 
 def _fused_fwd_impl(x, w, b, alpha):
@@ -236,20 +250,20 @@ def _fused_fwd_impl(x, w, b, alpha):
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
     xph = _phases(x, h2, w2)
-    wt, bias_col, alpha2 = _prep_params(w, b, alpha)
+    w4, b4, alpha2 = _prep_params(w, b, alpha)
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
     out = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, dot_dtype=_dot_dtype(x)),
         grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
                 (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(wt.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                bias_col.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+                b4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
@@ -260,9 +274,9 @@ def _fused_fwd_impl(x, w, b, alpha):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
-        scratch_shapes=[pltpu.VMEM((4, 16, h2, w2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
-    )(xph, wt, bias_col, alpha2)
+    )(xph, w4, b4, alpha2)
     return jnp.transpose(out, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
 
 
@@ -276,21 +290,21 @@ def _fused_bwd(res, g):
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
     xph = _phases(x, h2, w2)
-    wt, bias_col, alpha2 = _prep_params(w, b, alpha)
-    g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(jnp.float32)  # [B, h2, C, w2]
+    w4, b4, alpha2 = _prep_params(w, b, alpha)
+    g_t = jnp.transpose(g, (0, 1, 3, 2))  # [B, h2, C, w2], native dtype
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
-    dwt, db, da = pl.pallas_call(
-        _bwd_kernel,
+    dw4, db4, da = pl.pallas_call(
+        partial(_bwd_kernel, dot_dtype=_dot_dtype(x)),
         grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
                 (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(wt.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                bias_col.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+                b4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
@@ -301,23 +315,34 @@ def _fused_bwd(res, g):
             ),
         ],
         out_specs=(
-            pl.BlockSpec((c, 16), lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (NPH * c, NPH * NTAP), lambda i, hb: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NPH * c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+            ),
             # scalar accumulator lives in SMEM (VMEM cannot store scalars)
             pl.BlockSpec((1, 1), lambda i, hb: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NPH * c, NPH * NTAP), jnp.float32),
+            jax.ShapeDtypeStruct((NPH * c, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((4, 16, h2, w2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
-    )(xph, wt, bias_col, alpha2, g_t)
+    )(xph, w4, b4, alpha2, g_t)
+    # Sum the diagonal blocks of the phase-merged [4C, 36] accumulator.
+    dk = sum(
+        dw4[ph * c : (ph + 1) * c, ph * NTAP : (ph + 1) * NTAP]
+        for ph in range(NPH)
+    )  # [C, 9]
+    db = jnp.sum(db4[:, 0].reshape(NPH, c), axis=0)
     return (
         jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
-        dwt[:, :9].T.astype(w.dtype),
-        db[:, 0].astype(b.dtype),
+        dk.T.astype(w.dtype),
+        db.astype(b.dtype),
         da.reshape(alpha.shape).astype(alpha.dtype),
     )
 

@@ -26,6 +26,30 @@ class TestFusedConv1:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    def test_bf16_inputs_match_bf16_reference(self):
+        # bf16 inputs switch the kernel's MXU dots to bf16 operands (the XLA
+        # speed path's Precision.DEFAULT semantics); outputs stay close to
+        # the fp32 reference at bf16 tolerance.
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 95, 256).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(9, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        alpha = jnp.asarray([0.25], np.float32)
+        ref = reference_conv1_prelu_pool(x, wgt, b, alpha)
+        got = fused_conv1_prelu_pool(
+            x.astype(jnp.bfloat16),
+            wgt.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            alpha.astype(jnp.bfloat16),
+        )
+        assert got.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32) / scale,
+            np.asarray(ref) / scale,
+            atol=0.05,
+        )
+
     def test_gradients_match_reference(self):
         rng = np.random.RandomState(1)
         x = jnp.asarray(rng.randn(2, 63, 128).astype(np.float32))

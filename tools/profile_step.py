@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_and_trace(out_dir: str, steps: int) -> None:
+def run_and_trace(out_dir: str, steps: int, fused: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,8 @@ def run_and_trace(out_dir: str, steps: int) -> None:
     )
 
     model = DCNN(
-        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
+        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16,
+        fused_layer1=fused,
     )
 
     def transform(audio):
@@ -92,7 +93,8 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--out", default="/tmp/jax_trace")
     parser.add_argument("--summarize-only", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
     if not args.summarize_only:
-        run_and_trace(args.out, args.steps)
+        run_and_trace(args.out, args.steps, fused=args.fused)
     summarize(args.out)
