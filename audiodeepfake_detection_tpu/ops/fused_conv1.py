@@ -29,13 +29,19 @@ sub-32-bit scalar extracts):
   to bf16 when the layer input is bf16 — matching the XLA speed path's
   Precision.DEFAULT conv semantics and the MXU's native rate; fp32 inputs
   keep fp32 dots, so parity paths stay fp32-exact.
-* **Compact custom VJP.**  The layer input comes from the (stop-gradient)
-  transform, so no input gradient is needed — only ``dW [9, C]``, ``db [C]``
-  and ``dalpha [1]``.  The backward recomputes the conv rows in VMEM (same
-  dots as the forward, so masks match bitwise) and carries block-merged
-  ``[4C, 36]`` gradient accumulators through the row loop, with first-match
-  pool tie-breaking identical to the forward's nested maximum; the diagonal
-  blocks are summed into ``dW`` outside the kernel.
+* **Compact custom VJP with forward-saved selection masks.**  The layer
+  input comes from the (stop-gradient) transform, so no input gradient is
+  needed — only ``dW [9, C]``, ``db [C]`` and ``dalpha [1]``.  When the
+  block is differentiated, the forward additionally emits a 3-bit selection
+  code per output element (``phase | neg << 2``, int8, first-match pool
+  tie-break): the backward then needs NO conv recompute — it rebuilds
+  ``d_conv4`` from the mask and runs ONE kernel-gradient dot per row,
+  carrying block-merged ``[4C, 36]`` accumulators; the diagonal blocks are
+  summed into ``dW`` outside the kernel.  ``dalpha`` is recovered from the
+  saved pooled output as ``sum(neg ? out*g : 0) / alpha`` (``out = alpha *
+  conv`` on negative-selected elements); the measure-zero case ``alpha ==
+  0.0`` exactly yields 0 instead of the true ``sum(conv*g)``.  Primal-only
+  calls (eval) skip the mask entirely.
 
 Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
 fp32 roundoff for fp32 inputs (compute is fp32 in-kernel).  Tests run the
@@ -158,43 +164,30 @@ def _fwd_kernel(xph_ref, w4_ref, b4_ref, alpha_ref, out_ref, p_ref, *, dot_dtype
         out_ref[0, r] = pooled.astype(out_ref.dtype)
 
 
-def _bwd_kernel(
-    xph_ref, w4_ref, b4_ref, alpha_ref, g_ref, dw4_ref, db4_ref, da_ref, p_ref,
-    *, dot_dtype,
+def _fwd_sel_kernel(
+    xph_ref, w4_ref, b4_ref, alpha_ref, out_ref, sel_ref, p_ref, *, dot_dtype
 ):
-    i, hb = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(jnp.logical_and(i == 0, hb == 0))
-    def _():
-        dw4_ref[...] = jnp.zeros_like(dw4_ref)
-        db4_ref[...] = jnp.zeros_like(db4_ref)
-        da_ref[0, 0] = 0.0  # SMEM: scalar stores only
-
-    rows, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    """Forward + 3-bit selection code (``phase | neg << 2``, int8)."""
+    rows, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     h2 = p_ref.shape[1]
+    hb = pl.program_id(1)
     alpha = alpha_ref[0, 0]
-    w4 = w4_ref[...].astype(dot_dtype)
-    b4 = b4_ref[...]
 
     @pl.when(hb == 0)
     def _():
         _build_tap_planes(xph_ref, p_ref, h2, w2)
 
-    # [4C, 36] block-merged kernel-grad accumulator (one MXU dot per row:
-    # d_conv4 [4C, w2] contracted with patches [36, w2] over w2)
-    dk_acc = jnp.zeros((NPH * c, NPH * NTAP), jnp.float32)
-    db_acc = jnp.zeros((NPH * c, 1), jnp.float32)
-    da_acc = jnp.zeros((), jnp.float32)
+    w4 = w4_ref[...].astype(dot_dtype)
+    b4 = b4_ref[...]
     for r in range(rows):
         h = hb * rows + r
-        g = g_ref[0, r].astype(jnp.float32)  # [C, w2]
-        conv4, p36 = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
+        conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
         act4 = jnp.where(conv4 >= 0, conv4, alpha * conv4)
         acts = [act4[idx * c : (idx + 1) * c] for idx in range(NPH)]
         m = jnp.maximum(
             jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
-        d_parts = []
+        code = jnp.zeros((c, w2), jnp.int32)
         taken = None
         for idx in range(NPH):
             is_max = acts[idx] == m
@@ -204,21 +197,67 @@ def _bwd_kernel(
             else:
                 sel = jnp.logical_and(is_max, jnp.logical_not(taken))
                 taken = jnp.logical_or(taken, is_max)
-            d_parts.append(jnp.where(sel, g, 0.0))
-        d_act4 = jnp.concatenate(d_parts, axis=0)  # [4C, w2]
-        neg4 = conv4 < 0
-        d_conv4 = jnp.where(neg4, alpha * d_act4, d_act4)
-        da_acc = da_acc + jnp.sum(jnp.where(neg4, conv4 * d_act4, 0.0))
+            neg = conv4[idx * c : (idx + 1) * c] < 0
+            code = jnp.where(sel, idx + NPH * neg.astype(jnp.int32), code)
+        out_ref[0, r] = m.astype(out_ref.dtype)
+        sel_ref[0, r] = code.astype(jnp.int8)
+
+
+def _bwd_kernel(
+    xph_ref, alpha_ref, g_ref, sel_ref, out_in_ref, dw4_ref, db4_ref, dan_ref,
+    p_ref, *, dot_dtype,
+):
+    """Mask-driven backward: no conv recompute, one MXU dot per row.
+
+    ``dan`` accumulates the dalpha NUMERATOR ``sum(neg ? out*g : 0)``
+    (= ``alpha * dalpha``); the caller divides by alpha outside.
+    """
+    i, hb = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, hb == 0))
+    def _():
+        dw4_ref[...] = jnp.zeros_like(dw4_ref)
+        db4_ref[...] = jnp.zeros_like(db4_ref)
+        dan_ref[0, 0] = 0.0  # SMEM: scalar stores only
+
+    rows, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    h2 = p_ref.shape[1]
+    alpha = alpha_ref[0, 0]
+
+    @pl.when(hb == 0)
+    def _():
+        _build_tap_planes(xph_ref, p_ref, h2, w2)
+
+    # [4C, 36] block-merged kernel-grad accumulator (one MXU dot per row:
+    # d_conv4 [4C, w2] contracted with patches [36, w2] over w2)
+    dk_acc = jnp.zeros((NPH * c, NPH * NTAP), jnp.float32)
+    db_acc = jnp.zeros((NPH * c, 1), jnp.float32)
+    dan_acc = jnp.zeros((), jnp.float32)
+    for r in range(rows):
+        h = hb * rows + r
+        g = g_ref[0, r].astype(jnp.float32)  # [C, w2]
+        code = sel_ref[0, r].astype(jnp.int32)
+        o = out_in_ref[0, r].astype(jnp.float32)
+        neg = code >= NPH
+        ph = code - NPH * neg.astype(jnp.int32)
+        scale = jnp.where(neg, alpha, 1.0)
+        d_sel = scale * g  # gradient through PReLU at the selected element
+        d_parts = [
+            jnp.where(ph == idx, d_sel, 0.0) for idx in range(NPH)
+        ]
+        d_conv4 = jnp.concatenate(d_parts, axis=0)  # [4C, w2]
+        dan_acc = dan_acc + jnp.sum(jnp.where(neg, o * g, 0.0))
         db_acc = db_acc + jnp.sum(d_conv4, axis=1, keepdims=True)
+        p36 = p_ref[0:NPH * NTAP, pl.ds(h, 1), :].reshape(NPH * NTAP, w2)
         dk_acc = dk_acc + jax.lax.dot_general(
             d_conv4.astype(dot_dtype),
-            p36,
+            p36.astype(dot_dtype),
             (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [4C, 36]
             preferred_element_type=jnp.float32,
         )
     dw4_ref[...] += dk_acc
     db4_ref[...] += db_acc
-    da_ref[0, 0] += da_acc
+    dan_ref[0, 0] += dan_acc
 
 
 @jax.custom_vjp
@@ -245,7 +284,7 @@ def _prep_params(w, b, alpha):
     return w4, b4, alpha2
 
 
-def _fused_fwd_impl(x, w, b, alpha):
+def _fused_fwd_impl(x, w, b, alpha, want_sel: bool = False):
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
@@ -253,8 +292,12 @@ def _fused_fwd_impl(x, w, b, alpha):
     w4, b4, alpha2 = _prep_params(w, b, alpha)
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
-    out = pl.pallas_call(
-        partial(_fwd_kernel, dot_dtype=_dot_dtype(x)),
+    row_spec = pl.BlockSpec(
+        (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = _fwd_sel_kernel if want_sel else _fwd_kernel
+    res = pl.pallas_call(
+        partial(kern, dot_dtype=_dot_dtype(x)),
         grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
@@ -269,32 +312,47 @@ def _fused_fwd_impl(x, w, b, alpha):
                 alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(row_spec, row_spec) if want_sel else row_spec,
+        out_shape=(
+            (
+                jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
+                jax.ShapeDtypeStruct((bsz, h2, c, w2), jnp.int8),
+            )
+            if want_sel
+            else jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype)
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
         scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
     )(xph, w4, b4, alpha2)
-    return jnp.transpose(out, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
+    if want_sel:
+        return res  # ([B, h2, C, w2], int8 sel) — caller transposes
+    return jnp.transpose(res, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
 
 
 def _fused_fwd(x, w, b, alpha):
-    return _fused_fwd_impl(x, w, b, alpha), (x, w, b, alpha)
+    out_t, sel = _fused_fwd_impl(x, w, b, alpha, want_sel=True)
+    out = jnp.transpose(out_t, (0, 1, 3, 2))  # [B, h2, w2, C] (NHWC)
+    return out, (x, w, b, alpha, sel, out_t)
 
 
 def _fused_bwd(res, g):
-    x, w, b, alpha = res
+    x, w, b, alpha, sel, out_t = res
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
     xph = _phases(x, h2, w2)
-    w4, b4, alpha2 = _prep_params(w, b, alpha)
+    alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
     g_t = jnp.transpose(g, (0, 1, 3, 2))  # [B, h2, C, w2], native dtype
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
-    dw4, db4, da = pl.pallas_call(
+
+    def row_spec(dtype_shape=None):
+        return pl.BlockSpec(
+            (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    dw4, db4, dan = pl.pallas_call(
         partial(_bwd_kernel, dot_dtype=_dot_dtype(x)),
         grid=(bsz, h2 // rows),
         in_specs=[
@@ -302,17 +360,12 @@ def _fused_bwd(res, g):
                 (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(w4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                b4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec(
                 alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            row_spec(),  # g
+            row_spec(),  # sel (int8)
+            row_spec(),  # saved pooled output
         ],
         out_specs=(
             pl.BlockSpec(
@@ -332,13 +385,15 @@ def _fused_bwd(res, g):
         ),
         scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
-    )(xph, w4, b4, alpha2, g_t)
+    )(xph, alpha2, g_t, sel, out_t)
     # Sum the diagonal blocks of the phase-merged [4C, 36] accumulator.
     dk = sum(
         dw4[ph * c : (ph + 1) * c, ph * NTAP : (ph + 1) * NTAP]
         for ph in range(NPH)
     )  # [C, 9]
     db = jnp.sum(db4[:, 0].reshape(NPH, c), axis=0)
+    a32 = alpha.astype(jnp.float32).reshape(())
+    da = jnp.where(a32 != 0.0, dan.reshape(()) / a32, 0.0)
     return (
         jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
         dk.T.astype(w.dtype),

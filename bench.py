@@ -50,7 +50,8 @@ def measure_tpu() -> float:
     )
 
     model = DCNN(
-        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
+        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16,
+        fused_layer1=True,  # Pallas conv1+PReLU+pool block (ops/fused_conv1.py)
     )
 
     def transform(audio):
