@@ -87,19 +87,30 @@ class DCNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        bn3_stats = None
         if self.fused_layer1 and x.shape[-1] == 1 and self.kernel1 == 3:
-            from ..ops.fused_conv1 import fused_conv1_prelu_pool
+            from ..ops.fused_conv1 import (
+                fused_conv1_prelu_pool,
+                fused_conv1_prelu_pool_stats,
+            )
 
             kernel, bias = _ConvScope(
                 (3, 3, 1, self.ochannels1), name="cnn_0"
             )()
             alpha = _AlphaScope(name="cnn_1")()
-            x = fused_conv1_prelu_pool(
+            fused_args = (
                 x[..., 0],
                 kernel.reshape(9, self.ochannels1).astype(x.dtype),
                 bias.astype(x.dtype),
                 alpha.reshape(1).astype(x.dtype),
             )
+            if train and self.fold_bn:
+                # also accumulate the next BN's moments in-kernel: the
+                # 100+ MB activation is never re-read by a stats pass
+                x, bn_sum, bn_sumsq = fused_conv1_prelu_pool_stats(*fused_args)
+                bn3_stats = (bn_sum, bn_sumsq)
+            else:
+                x = fused_conv1_prelu_pool(*fused_args)
         else:
             # first conv via the bandwidth-lean custom VJP: XLA's default
             # transpose reverses the full 410 MB gradient tensor
@@ -115,7 +126,10 @@ class DCNN(nn.Module):
             )
             x = PReLU(name="cnn_1")(x)
             x = max_pool_2x2(x)
-        def bn_conv(x, bn_name, conv_name, affine, feat, k, padding, dilation=1):
+        def bn_conv(
+            x, bn_name, conv_name, affine, feat, k, padding, dilation=1,
+            stats=None,
+        ):
             if self.fold_bn:
                 from .layers import folded_bn_conv
 
@@ -123,14 +137,17 @@ class DCNN(nn.Module):
                     x, train,
                     bn_name=bn_name, conv_name=conv_name, affine=affine,
                     features=feat, kernel_size=k, padding=padding,
-                    dilation=dilation, precision=prec,
+                    dilation=dilation, precision=prec, stats=stats,
                 )
             x = BatchNorm(affine=affine, name=bn_name)(x, train)
             return Conv2d(
                 feat, k, padding=padding, dilation=dilation, name=conv_name
             )(x)
 
-        x = bn_conv(x, "cnn_3", "cnn_4", False, self.ochannels2, 1, 0)
+        x = bn_conv(
+            x, "cnn_3", "cnn_4", False, self.ochannels2, 1, 0,
+            stats=bn3_stats,
+        )
         x = PReLU(name="cnn_5")(x)
         x = bn_conv(x, "cnn_6", "cnn_7", False, self.ochannels3, 3, 1)
         x = PReLU(name="cnn_8")(x)

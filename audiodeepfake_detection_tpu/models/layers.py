@@ -33,12 +33,20 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v)
 
 
-def _torch_bn_stats(mdl: nn.Module, x: jnp.ndarray, train: bool, momentum: float):
+def _torch_bn_stats(
+    mdl: nn.Module, x: jnp.ndarray, train: bool, momentum: float, stats=None
+):
     """Torch-semantics BN statistics on module ``mdl``: biased variance for
     normalisation, unbiased for the running update, momentum torch-style,
     ``num_batches_tracked`` buffer.  Returns the (mean, var) to normalise
     with.  Shared by :class:`BatchNorm` and the folded BN+conv path so the
-    ``batch_stats`` tree is identical either way."""
+    ``batch_stats`` tree is identical either way.
+
+    ``stats``: optional precomputed per-channel f32 ``(sum, sumsq)`` of
+    ``x`` (e.g. accumulated inside a fused producer kernel, see
+    ops/fused_conv1.py) — skips re-reading the activation; gradients flow
+    through the provided moments.
+    """
     features = x.shape[-1]
     ra_mean = mdl.variable(
         "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
@@ -51,16 +59,21 @@ def _torch_bn_stats(mdl: nn.Module, x: jnp.ndarray, train: bool, momentum: float
     )
     if train:
         axes = tuple(range(x.ndim - 1))
-        # statistics always accumulate in fp32 (bf16 activations would
-        # lose precision over millions of elements)
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes)
-        mean2 = jnp.mean(jax.lax.square(x32), axis=axes)
+        n = 1.0
+        for d in axes:
+            n *= x.shape[d]
+        if stats is not None:
+            s, q = stats
+            mean = s.astype(jnp.float32) / n
+            mean2 = q.astype(jnp.float32) / n
+        else:
+            # statistics always accumulate in fp32 (bf16 activations would
+            # lose precision over millions of elements)
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            mean2 = jnp.mean(jax.lax.square(x32), axis=axes)
         var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
         if not mdl.is_initializing():
-            n = 1.0
-            for d in axes:
-                n *= x.shape[d]
             unbiased = var * (n / max(n - 1.0, 1.0))
             m = momentum
             ra_mean.value = (1 - m) * ra_mean.value + m * mean
@@ -101,9 +114,9 @@ class BatchNormStats(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool):
+    def __call__(self, x: jnp.ndarray, train: bool, stats=None):
         features = x.shape[-1]
-        mean, var = _torch_bn_stats(self, x, train, self.momentum)
+        mean, var = _torch_bn_stats(self, x, train, self.momentum, stats)
         s = jax.lax.rsqrt(var + self.eps)
         t = -mean * s
         if self.affine:
@@ -149,6 +162,7 @@ def folded_bn_conv(
     padding: int,
     dilation: int = 1,
     precision=None,
+    stats=None,
 ) -> jnp.ndarray:
     """``conv(BN(x))`` with the normalisation folded into the conv weights.
 
@@ -160,9 +174,10 @@ def folded_bn_conv(
     are unchanged (identical math, different schedule).  Param/batch-stats
     trees match the unfused ``BatchNorm`` + ``Conv2d`` exactly.  Must be
     called inside an ``@nn.compact`` ``__call__`` (the child modules attach
-    to the calling scope).
+    to the calling scope).  ``stats``: optional precomputed ``(sum, sumsq)``
+    of ``x`` for the BN moments (see ``_torch_bn_stats``).
     """
-    s, t = BatchNormStats(affine=affine, name=bn_name)(x, train)
+    s, t = BatchNormStats(affine=affine, name=bn_name)(x, train, stats)
     cin = x.shape[-1]
     kernel, bias = ConvScope(
         (kernel_size, kernel_size, cin, features), name=conv_name

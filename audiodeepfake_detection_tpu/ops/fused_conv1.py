@@ -139,46 +139,53 @@ def _rows_per_cell(h2: int) -> int:
     return 1
 
 
-def _fwd_kernel(xph_ref, w4_ref, b4_ref, alpha_ref, out_ref, p_ref, *, dot_dtype):
-    """Grid = (batch, row-blocks): Mosaic pipelines grid cells (overlapped
-    DMA/compute), unlike a serial in-kernel ``fori_loop`` over rows."""
+def _fwd_master(*refs, dot_dtype, emit_sel, emit_stats):
+    """Forward kernel, parameterized over emitted outputs.
+
+    Grid = (batch, row-blocks): Mosaic pipelines grid cells (overlapped
+    DMA/compute), unlike a serial in-kernel ``fori_loop`` over rows.
+    Outputs in order: pooled ``out`` [B, h2, C, w2]; if ``emit_sel`` a 3-bit
+    selection code per element (``phase | neg << 2``, int8); if
+    ``emit_stats`` per-channel f32 ``sum``/``sumsq`` [C, 1] accumulators of
+    the ROUNDED output (so statistics are bitwise-equal to re-reading the
+    stored activation, as the unfused BN-stats pass does).
+    """
+    xph_ref, w4_ref, b4_ref, alpha_ref = refs[:4]
+    pos = 4
+    out_ref = refs[pos]
+    pos += 1
+    sel_ref = None
+    if emit_sel:
+        sel_ref = refs[pos]
+        pos += 1
+    sums_ref = sumsq_ref = None
+    if emit_stats:
+        sums_ref, sumsq_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    p_ref = refs[pos]
+
     rows, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     h2 = p_ref.shape[1]
-    hb = pl.program_id(1)
+    i, hb = pl.program_id(0), pl.program_id(1)
     alpha = alpha_ref[0, 0]
 
     @pl.when(hb == 0)
     def _():
         _build_tap_planes(xph_ref, p_ref, h2, w2)
 
-    w4 = w4_ref[...].astype(dot_dtype)
-    b4 = b4_ref[...]
-    for r in range(rows):
-        h = hb * rows + r
-        conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
-        act4 = jnp.where(conv4 >= 0, conv4, alpha * conv4)
-        pooled = jnp.maximum(
-            jnp.maximum(act4[0:c], act4[c : 2 * c]),
-            jnp.maximum(act4[2 * c : 3 * c], act4[3 * c : 4 * c]),
-        )
-        out_ref[0, r] = pooled.astype(out_ref.dtype)
+    if emit_stats:
 
-
-def _fwd_sel_kernel(
-    xph_ref, w4_ref, b4_ref, alpha_ref, out_ref, sel_ref, p_ref, *, dot_dtype
-):
-    """Forward + 3-bit selection code (``phase | neg << 2``, int8)."""
-    rows, c, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    h2 = p_ref.shape[1]
-    hb = pl.program_id(1)
-    alpha = alpha_ref[0, 0]
-
-    @pl.when(hb == 0)
-    def _():
-        _build_tap_planes(xph_ref, p_ref, h2, w2)
+        @pl.when(jnp.logical_and(i == 0, hb == 0))
+        def _():
+            sums_ref[...] = jnp.zeros_like(sums_ref)
+            sumsq_ref[...] = jnp.zeros_like(sumsq_ref)
 
     w4 = w4_ref[...].astype(dot_dtype)
     b4 = b4_ref[...]
+    s_acc = q_acc = None
+    if emit_stats:
+        s_acc = jnp.zeros((c, 1), jnp.float32)
+        q_acc = jnp.zeros((c, 1), jnp.float32)
     for r in range(rows):
         h = hb * rows + r
         conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
@@ -187,31 +194,49 @@ def _fwd_sel_kernel(
         m = jnp.maximum(
             jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
         )
-        code = jnp.zeros((c, w2), jnp.int32)
-        taken = None
-        for idx in range(NPH):
-            is_max = acts[idx] == m
-            if taken is None:
-                sel = is_max
-                taken = is_max
-            else:
-                sel = jnp.logical_and(is_max, jnp.logical_not(taken))
-                taken = jnp.logical_or(taken, is_max)
-            neg = conv4[idx * c : (idx + 1) * c] < 0
-            code = jnp.where(sel, idx + NPH * neg.astype(jnp.int32), code)
-        out_ref[0, r] = m.astype(out_ref.dtype)
-        sel_ref[0, r] = code.astype(jnp.int8)
+        stored = m.astype(out_ref.dtype)
+        out_ref[0, r] = stored
+        if emit_sel:
+            code = jnp.zeros((c, w2), jnp.int32)
+            taken = None
+            for idx in range(NPH):
+                is_max = acts[idx] == m
+                if taken is None:
+                    sel = is_max
+                    taken = is_max
+                else:
+                    sel = jnp.logical_and(is_max, jnp.logical_not(taken))
+                    taken = jnp.logical_or(taken, is_max)
+                neg = conv4[idx * c : (idx + 1) * c] < 0
+                code = jnp.where(sel, idx + NPH * neg.astype(jnp.int32), code)
+            sel_ref[0, r] = code.astype(jnp.int8)
+        if emit_stats:
+            rounded = stored.astype(jnp.float32)
+            s_acc = s_acc + jnp.sum(rounded, axis=1, keepdims=True)
+            q_acc = q_acc + jnp.sum(
+                jax.lax.square(rounded), axis=1, keepdims=True
+            )
+    if emit_stats:
+        sums_ref[...] += s_acc
+        sumsq_ref[...] += q_acc
 
 
-def _bwd_kernel(
-    xph_ref, alpha_ref, g_ref, sel_ref, out_in_ref, dw4_ref, db4_ref, dan_ref,
-    p_ref, *, dot_dtype,
-):
+def _bwd_kernel(*refs, dot_dtype, with_stats):
     """Mask-driven backward: no conv recompute, one MXU dot per row.
 
     ``dan`` accumulates the dalpha NUMERATOR ``sum(neg ? out*g : 0)``
-    (= ``alpha * dalpha``); the caller divides by alpha outside.
+    (= ``alpha * dalpha``); the caller divides by alpha outside.  With
+    ``with_stats``, the cotangents of the forward's per-channel
+    ``sum``/``sumsq`` outputs fold into the per-element gradient as
+    ``g_total = g + gs + 2*out*gq`` before the mask logic.
     """
+    xph_ref, alpha_ref, g_ref, sel_ref, out_in_ref = refs[:5]
+    pos = 5
+    gs_ref = gq_ref = None
+    if with_stats:
+        gs_ref, gq_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    dw4_ref, db4_ref, dan_ref, p_ref = refs[pos : pos + 4]
     i, hb = pl.program_id(0), pl.program_id(1)
 
     @pl.when(jnp.logical_and(i == 0, hb == 0))
@@ -223,6 +248,8 @@ def _bwd_kernel(
     rows, c, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
     h2 = p_ref.shape[1]
     alpha = alpha_ref[0, 0]
+    gs = gs_ref[...] if with_stats else None  # [C, 1]
+    gq = gq_ref[...] if with_stats else None
 
     @pl.when(hb == 0)
     def _():
@@ -238,6 +265,8 @@ def _bwd_kernel(
         g = g_ref[0, r].astype(jnp.float32)  # [C, w2]
         code = sel_ref[0, r].astype(jnp.int32)
         o = out_in_ref[0, r].astype(jnp.float32)
+        if with_stats:
+            g = g + gs + 2.0 * o * gq
         neg = code >= NPH
         ph = code - NPH * neg.astype(jnp.int32)
         scale = jnp.where(neg, alpha, 1.0)
@@ -263,7 +292,8 @@ def _bwd_kernel(
 @jax.custom_vjp
 def fused_conv1_prelu_pool(x, w, b, alpha):
     """``[B, H, W] x [9, C] x [C] x [1] -> [B, H2, W2, C]`` fused block."""
-    return _fused_fwd_impl(x, w, b, alpha)
+    (out_t,) = _fused_fwd_impl(x, w, b, alpha)
+    return jnp.transpose(out_t, (0, 1, 3, 2))  # -> NHWC
 
 
 def _dot_dtype(x):
@@ -284,7 +314,15 @@ def _prep_params(w, b, alpha):
     return w4, b4, alpha2
 
 
-def _fused_fwd_impl(x, w, b, alpha, want_sel: bool = False):
+def _fused_fwd_impl(
+    x, w, b, alpha, want_sel: bool = False, want_stats: bool = False
+):
+    """Run the forward kernel.
+
+    Returns ``out_t [B, h2, C, w2]`` (pre-NHWC-transpose) plus, in order,
+    the int8 selection codes (``want_sel``) and the per-channel f32
+    ``sum``/``sumsq`` vectors (``want_stats``).
+    """
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
@@ -295,9 +333,24 @@ def _fused_fwd_impl(x, w, b, alpha, want_sel: bool = False):
     row_spec = pl.BlockSpec(
         (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = _fwd_sel_kernel if want_sel else _fwd_kernel
+    stat_spec = pl.BlockSpec(
+        (c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [row_spec]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype)]
+    if want_sel:
+        out_specs.append(row_spec)
+        out_shape.append(jax.ShapeDtypeStruct((bsz, h2, c, w2), jnp.int8))
+    if want_stats:
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [jax.ShapeDtypeStruct((c, 1), jnp.float32)] * 2
     res = pl.pallas_call(
-        partial(kern, dot_dtype=_dot_dtype(x)),
+        partial(
+            _fwd_master,
+            dot_dtype=_dot_dtype(x),
+            emit_sel=want_sel,
+            emit_stats=want_stats,
+        ),
         grid=(bsz, h2 // rows),
         in_specs=[
             pl.BlockSpec(
@@ -312,21 +365,24 @@ def _fused_fwd_impl(x, w, b, alpha, want_sel: bool = False):
                 alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(row_spec, row_spec) if want_sel else row_spec,
-        out_shape=(
-            (
-                jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype),
-                jax.ShapeDtypeStruct((bsz, h2, c, w2), jnp.int8),
-            )
-            if want_sel
-            else jax.ShapeDtypeStruct((bsz, h2, c, w2), x.dtype)
-        ),
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
     )(xph, w4, b4, alpha2)
-    if want_sel:
-        return res  # ([B, h2, C, w2], int8 sel) — caller transposes
-    return jnp.transpose(res, (0, 1, 3, 2))  # -> [B, h2, w2, C] (NHWC)
+    return res if isinstance(res, tuple) else (res,)
+
+
+@jax.custom_vjp
+def fused_conv1_prelu_pool_stats(x, w, b, alpha):
+    """Like :func:`fused_conv1_prelu_pool` but also returns the per-channel
+    f32 ``(sum, sumsq)`` of the output — the moments the NEXT BatchNorm
+    needs — accumulated in-kernel so the 100+ MB activation is never
+    re-read by a statistics pass.  Gradients flow through the moments
+    (``d out += gs + 2*out*gq`` inside the backward kernel), matching
+    autodiff of ``sum(out)`` / ``sum(out**2)`` exactly."""
+    out_t, s, q = _fused_fwd_impl(x, w, b, alpha, want_stats=True)
+    return jnp.transpose(out_t, (0, 1, 3, 2)), s[:, 0], q[:, 0]
 
 
 def _fused_fwd(x, w, b, alpha):
@@ -335,38 +391,59 @@ def _fused_fwd(x, w, b, alpha):
     return out, (x, w, b, alpha, sel, out_t)
 
 
-def _fused_bwd(res, g):
+def _fused_stats_fwd(x, w, b, alpha):
+    out_t, sel, s, q = _fused_fwd_impl(
+        x, w, b, alpha, want_sel=True, want_stats=True
+    )
+    out = jnp.transpose(out_t, (0, 1, 3, 2))
+    return (out, s[:, 0], q[:, 0]), (x, w, b, alpha, sel, out_t)
+
+
+def _run_bwd(res, g, gs=None, gq=None):
     x, w, b, alpha, sel, out_t = res
     bsz, h, win = x.shape
     h2, w2 = _pad_geometry(h, win)
     c = w.shape[-1]
+    with_stats = gs is not None
     xph = _phases(x, h2, w2)
     alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
     g_t = jnp.transpose(g, (0, 1, 3, 2))  # [B, h2, C, w2], native dtype
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
 
-    def row_spec(dtype_shape=None):
+    def row_spec():
         return pl.BlockSpec(
             (1, rows, c, w2), lambda i, hb: (i, hb, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    stat_spec = pl.BlockSpec(
+        (c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+        ),
+        row_spec(),  # g
+        row_spec(),  # sel (int8)
+        row_spec(),  # saved pooled output
+    ]
+    inputs = [xph, alpha2, g_t, sel, out_t]
+    if with_stats:
+        in_specs += [stat_spec, stat_spec]
+        inputs += [
+            gs.astype(jnp.float32)[:, None],
+            gq.astype(jnp.float32)[:, None],
+        ]
+
     dw4, db4, dan = pl.pallas_call(
-        partial(_bwd_kernel, dot_dtype=_dot_dtype(x)),
+        partial(_bwd_kernel, dot_dtype=_dot_dtype(x), with_stats=with_stats),
         grid=(bsz, h2 // rows),
-        in_specs=[
-            pl.BlockSpec(
-                (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                alpha2.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
-            ),
-            row_spec(),  # g
-            row_spec(),  # sel (int8)
-            row_spec(),  # saved pooled output
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (NPH * c, NPH * NTAP), lambda i, hb: (0, 0),
@@ -385,7 +462,7 @@ def _fused_bwd(res, g):
         ),
         scratch_shapes=[pltpu.VMEM((NPH * NTAP, h2, w2), jnp.float32)],
         interpret=interpret,
-    )(xph, alpha2, g_t, sel, out_t)
+    )(*inputs)
     # Sum the diagonal blocks of the phase-merged [4C, 36] accumulator.
     dk = sum(
         dw4[ph * c : (ph + 1) * c, ph * NTAP : (ph + 1) * NTAP]
@@ -402,7 +479,17 @@ def _fused_bwd(res, g):
     )
 
 
+def _fused_bwd(res, g):
+    return _run_bwd(res, g)
+
+
+def _fused_stats_bwd(res, cts):
+    g, gs, gq = cts
+    return _run_bwd(res, g, gs, gq)
+
+
 fused_conv1_prelu_pool.defvjp(_fused_fwd, _fused_bwd)
+fused_conv1_prelu_pool_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)
 
 
 def reference_conv1_prelu_pool(x, w, b, alpha):

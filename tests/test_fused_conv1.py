@@ -9,6 +9,7 @@ import pytest
 
 from audiodeepfake_detection_tpu.ops.fused_conv1 import (
     fused_conv1_prelu_pool,
+    fused_conv1_prelu_pool_stats,
     reference_conv1_prelu_pool,
 )
 
@@ -49,6 +50,60 @@ class TestFusedConv1:
             np.asarray(ref) / scale,
             atol=0.05,
         )
+
+    def test_stats_variant_moments_and_gradients(self):
+        # The stats variant returns per-channel (sum, sumsq) of the output
+        # and routes their cotangents through the backward kernel — the
+        # composition below mimics the folded-BN consumer (mean/var of the
+        # activation enter the loss).
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 63, 128).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(9, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        alpha = jnp.asarray([0.25], np.float32)
+
+        out, s, q = fused_conv1_prelu_pool_stats(x, wgt, b, alpha)
+        ref = reference_conv1_prelu_pool(x, wgt, b, alpha)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        n = out.shape[0] * out.shape[1] * out.shape[2]
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(jnp.sum(ref, axis=(0, 1, 2))),
+            rtol=2e-5, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(jnp.sum(ref**2, axis=(0, 1, 2))),
+            rtol=2e-5, atol=2e-4,
+        )
+
+        def bn_like_loss(fn):
+            def loss(w_, b_, a_):
+                res = fn(w_, b_, a_)
+                if isinstance(res, tuple):
+                    y, s_, q_ = res
+                    mean = s_ / n
+                    var = q_ / n - mean**2
+                else:
+                    y = res
+                    mean = jnp.mean(y, axis=(0, 1, 2))
+                    var = jnp.mean(y**2, axis=(0, 1, 2)) - mean**2
+                ynorm = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+                return jnp.sum(ynorm**2) / y.size + jnp.sum(mean**2)
+
+            return loss
+
+        gf = jax.grad(
+            bn_like_loss(lambda w_, b_, a_: fused_conv1_prelu_pool_stats(x, w_, b_, a_)),
+            argnums=(0, 1, 2),
+        )(wgt, b, alpha)
+        gr = jax.grad(
+            bn_like_loss(lambda w_, b_, a_: reference_conv1_prelu_pool(x, w_, b_, a_)),
+            argnums=(0, 1, 2),
+        )(wgt, b, alpha)
+        for a_, b_ in zip(gf, gr):
+            scale = max(float(jnp.max(jnp.abs(b_))), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(a_) / scale, np.asarray(b_) / scale, atol=5e-5
+            )
 
     def test_gradients_match_reference(self):
         rng = np.random.RandomState(1)

@@ -78,12 +78,26 @@ def main() -> None:
         )
 
     fast = dict(precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16)
-    bench_step(DCNN(time_dim=12, **fast), wpt_transform, "packets-sym5 + DCNN bf16")
-    bench_step(DCNN(time_dim=12, **fast), stft_transform, "stft + DCNN bf16")
+    # fused_layer1: the Pallas conv1+PReLU+pool block (ops/fused_conv1.py),
+    # the production speed configuration (bench.py).
+    bench_step(
+        DCNN(time_dim=12, fused_layer1=True, **fast),
+        wpt_transform,
+        "packets-sym5 + DCNN bf16 fused-l1",
+    )
+    bench_step(
+        DCNN(time_dim=12, fused_layer1=True, **fast),
+        stft_transform,
+        "stft + DCNN bf16 fused-l1",
+    )
     bench_step(
         LCNN(lstm_channels=256, **fast), stft_transform, "stft + LCNN bf16"
     )
-    bench_eval(DCNN(time_dim=12, **fast), wpt_transform, "packets-sym5 + DCNN bf16 eval")
+    bench_eval(
+        DCNN(time_dim=12, fused_layer1=True, **fast),
+        wpt_transform,
+        "packets-sym5 + DCNN bf16 fused-l1 eval",
+    )
 
 
 def bench_eval(model, transform, tag, steps=50):
