@@ -93,10 +93,12 @@ def main() -> None:
     bench_step(
         LCNN(lstm_channels=256, **fast), stft_transform, "stft + LCNN bf16"
     )
+    # fused_layer1=True engages the kernel only under train=True, so this
+    # measures the XLA eval forward (which beats the kernel for inference)
     bench_eval(
         DCNN(time_dim=12, fused_layer1=True, **fast),
         wpt_transform,
-        "packets-sym5 + DCNN bf16 fused-l1 eval",
+        "packets-sym5 + DCNN bf16 eval",
     )
 
 
