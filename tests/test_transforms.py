@@ -52,6 +52,24 @@ class TestSpectrogram:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
+    def test_matmul_path_matches_fft_path(self):
+        # the MXU windowed-DFT matmul (TPU default) against jnp.fft.rfft
+        x = np.random.RandomState(2).randn(2, 1, 22050).astype(np.float32)
+        for n_fft, hop, power in [(511, 220, 2.0), (256, 128, 1.0), (400, 160, 3.0)]:
+            a = np.asarray(
+                spectrogram(
+                    jnp.asarray(x), n_fft=n_fft, hop_length=hop, power=power,
+                    method="matmul",
+                )
+            )
+            b = np.asarray(
+                spectrogram(
+                    jnp.asarray(x), n_fft=n_fft, hop_length=hop, power=power,
+                    method="fft",
+                )
+            )
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
 
 class TestWPT:
     def test_length_rule(self):
