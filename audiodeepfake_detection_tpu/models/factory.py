@@ -41,7 +41,13 @@ def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) ->
     return DCNN(
         dtype=dtype,
         precision=precision,
-        fused_layer1=bool(args.fused_layer1),
+        # pass through verbatim: True = train-only kernel, "always" forces
+        # it in eval too (bool() would silently collapse "always" to True)
+        fused_layer1=(
+            "always"
+            if str(args.fused_layer1).lower() == "always"
+            else bool(args.fused_layer1)
+        ),
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
         ochannels2=args.ochannels2 or 64,

@@ -39,9 +39,14 @@ sub-32-bit scalar extracts):
   carrying block-merged ``[4C, 36]`` accumulators; the diagonal blocks are
   summed into ``dW`` outside the kernel.  ``dalpha`` is recovered from the
   saved pooled output as ``sum(neg ? out*g : 0) / alpha`` (``out = alpha *
-  conv`` on negative-selected elements); the measure-zero case ``alpha ==
-  0.0`` exactly yields 0 instead of the true ``sum(conv*g)``.  Primal-only
-  calls (eval) skip the mask entirely.
+  conv`` on negative-selected elements).  KNOWN LIMIT: at ``alpha ==
+  0.0`` exactly, the recovery degenerates (out = 0 carries no conv
+  information) and dalpha is returned as 0 instead of the true
+  ``sum(conv*g)`` — i.e. an exactly-zero slope cannot receive gradient
+  through this kernel.  The DCNN initializes alpha = 0.25 (torch PReLU
+  default) and fp32 Adam never lands on exactly 0.0, but do NOT use this
+  kernel with a ReLU-style ``alpha=0`` init; the unfused path handles it
+  correctly.  Primal-only calls (eval) skip the mask entirely.
 
 Used by ``DCNN(fused_layer1=True)``; numerics match the unfused XLA path to
 fp32 roundoff for fp32 inputs (compute is fp32 in-kernel).  Tests run the

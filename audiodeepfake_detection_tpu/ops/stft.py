@@ -77,6 +77,11 @@ def spectrogram(
         ``[..., n_fft//2 + 1, n_frames]`` spectrogram, time last (matching
         torch layout).
     """
+    if method not in ("auto", "matmul", "fft"):
+        raise ValueError(
+            f"spectrogram method must be 'auto', 'matmul' or 'fft', got "
+            f"{method!r}"
+        )
     if method == "auto":
         method = "matmul" if n_fft <= 2048 else "fft"
     n_bins = n_fft // 2 + 1

@@ -51,6 +51,58 @@ class TestFusedConv1:
             atol=0.05,
         )
 
+    def test_bf16_gradients_match_bf16_reference(self):
+        # the production configuration (bench.py: dtype=bfloat16, train)
+        # runs the BACKWARD kernel with bf16 dot operands — cover it
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(2, 63, 128).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(9, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        alpha = jnp.asarray([0.25], np.float32)
+        to16 = lambda *ts: [t.astype(jnp.bfloat16) for t in ts]  # noqa: E731
+        x16, w16, b16, a16 = to16(x, wgt, b, alpha)
+
+        def loss_fused(w_, b_, a_):
+            return jnp.sum(
+                fused_conv1_prelu_pool(x16, w_, b_, a_).astype(jnp.float32)
+                ** 2
+            )
+
+        def loss_stats(w_, b_, a_):
+            y, s, q = fused_conv1_prelu_pool_stats(x16, w_, b_, a_)
+            return (
+                jnp.sum(y.astype(jnp.float32) ** 2)
+                + jnp.sum(s.astype(jnp.float32))
+                + 1e-3 * jnp.sum(q.astype(jnp.float32))
+            )
+
+        def loss_ref(stats):
+            def f(w_, b_, a_):
+                y = reference_conv1_prelu_pool(
+                    x, w_.astype(jnp.float32), b_.astype(jnp.float32),
+                    a_.astype(jnp.float32),
+                )
+                val = jnp.sum(y**2)
+                if stats:
+                    val = val + jnp.sum(y) + 1e-3 * jnp.sum(y**2)
+                return val
+
+            return f
+
+        for fused_loss, ref_loss in [
+            (loss_fused, loss_ref(False)),
+            (loss_stats, loss_ref(True)),
+        ]:
+            gf = jax.grad(fused_loss, argnums=(0, 1, 2))(w16, b16, a16)
+            gr = jax.grad(ref_loss, argnums=(0, 1, 2))(wgt, b, alpha)
+            for got, want in zip(gf, gr):
+                scale = max(float(jnp.max(jnp.abs(want))), 1.0)
+                np.testing.assert_allclose(
+                    np.asarray(got, np.float32) / scale,
+                    np.asarray(want) / scale,
+                    atol=0.08,  # bf16 operands vs fp32 reference
+                )
+
     def test_stats_variant_moments_and_gradients(self):
         # The stats variant returns per-channel (sum, sumsq) of the output
         # and routes their cotangents through the backward kernel — the
