@@ -82,10 +82,25 @@ def get_model(
             lstm_channels = 20
         else:
             lstm_channels = int(args.num_of_scales)
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16}.get(str(args.dtype), None)
+        precision = None
+        if dtype is not None:
+            import jax
+
+            precision = jax.lax.Precision.DEFAULT
         return LCNN(
             classes=nclasses,
             in_channels=in_channels,
             lstm_channels=lstm_channels,
+            dtype=dtype,
+            precision=precision,
+            fused_layer1=(
+                "always"
+                if str(args.fused_layer1).lower() == "always"
+                else bool(args.fused_layer1)
+            ),
         )
     if model_name == "gridmodel":
         if args.model_data is None:

@@ -32,6 +32,11 @@ class LCNN(nn.Module):
     # fold each BatchNorm into its following conv (identical math; see
     # layers.folded_bn_conv)
     fold_bn: bool = True
+    # Fuse conv(5x5)+MaxFeatureMap+pool into one Pallas kernel
+    # (ops/fused_conv1.py, MFM variant).  True = training only (the win is
+    # in the fwd+bwd pair); "always" forces it in eval too (parity tests).
+    # Requires a single input channel.
+    fused_layer1: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -64,16 +69,35 @@ class LCNN(nn.Module):
             x = BatchNorm(affine=False, name=bn_name)(x, train)
             return Conv2d(feat, k, padding=padding, name=conv_name)(x)
 
-        # first conv via the bandwidth-lean custom VJP (same pathology as
-        # the DCNN's conv1: XLA's default transpose reverses the full
-        # output-gradient tensor; see ops/first_conv.py)
-        from ..ops.first_conv import first_conv
         from .layers import ConvScope
 
         kernel, bias = ConvScope((5, 5, x.shape[-1], 64), name="lcnn_0")()
-        x = first_conv(x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec)
-        x = max_feature_map_2d(x)
-        x = max_pool_2x2(x)
+        use_fused = (
+            bool(self.fused_layer1)
+            and x.shape[-1] == 1
+            and (train or self.fused_layer1 == "always")
+        )
+        if use_fused:
+            # one Pallas pass: the 420+ MB pre-pool activation never leaves
+            # VMEM (ops/fused_conv1.py, MFM variant)
+            from ..ops.fused_conv1 import fused_conv_mfm_pool
+
+            x = fused_conv_mfm_pool(
+                x[..., 0],
+                kernel.reshape(25, 64).astype(x.dtype),
+                bias.astype(x.dtype),
+            )
+        else:
+            # first conv via the bandwidth-lean custom VJP (same pathology
+            # as the DCNN's conv1: XLA's default transpose reverses the
+            # full output-gradient tensor; see ops/first_conv.py)
+            from ..ops.first_conv import first_conv
+
+            x = first_conv(
+                x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
+            )
+            x = max_feature_map_2d(x)
+            x = max_pool_2x2(x)
         x = Conv2d(64, 1, padding=0, name="lcnn_3")(x)
         x = max_feature_map_2d(x)
         x = bn_conv(x, "lcnn_5", "lcnn_6", 96, 3, 1)

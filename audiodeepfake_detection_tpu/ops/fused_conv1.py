@@ -68,20 +68,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PAD = 2  # torch Conv2d(1, C, 3, stride=1, padding=2) — zero padding
-K = 3
+PAD = 2  # torch Conv2d(1, C, k, stride=1, padding=2) — zero padding
+K = 3  # DCNN layer-1 kernel size; the LCNN MFM variant uses k=5
 _PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
 NPH = len(_PHASES)
-NTAP = K * K  # 9 taps per phase
+NTAP = K * K  # 9 taps per phase (DCNN variant)
 
 
-def _pad_geometry(h: int, w: int) -> Tuple[int, int]:
-    h_out, w_out = h + 2 * PAD - K + 1, w + 2 * PAD - K + 1
+def _pad_geometry(h: int, w: int, k: int = K) -> Tuple[int, int]:
+    h_out, w_out = h + 2 * PAD - k + 1, w + 2 * PAD - k + 1
     return h_out // 2, w_out // 2  # pooled (floor) output
 
 
 def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
-    """``[B, H, W] -> [B, 2, 2, h2+2, w2+2]`` zero-padded parity phases."""
+    """``[B, H, W] -> [B, 2, 2, h2+2, w2+2]`` zero-padded parity phases.
+
+    The ``+2`` phase extension covers every tap start for both supported
+    kernels: the largest plane offset is ``(1 + k - 1) // 2`` = 1 (k=3) or
+    2 (k=5).
+    """
     b, h, w = x.shape
     x_pad = jnp.pad(
         x, ((0, 0), (PAD, 2 * h2 + 4 - h - PAD), (PAD, 2 * w2 + 4 - w - PAD))
@@ -97,36 +102,38 @@ def _phases(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
     )  # [B, a, b, h2+2, w2+2]
 
 
-def _build_tap_planes(xph_ref, p_ref, h2, w2):
-    """Copy the 4x9 conv tap planes into scratch, layout-normalized.
+def _build_tap_planes(xph_ref, p_ref, h2, w2, k: int = K):
+    """Copy the 4 x k^2 conv tap planes into scratch, layout-normalized.
 
-    ``p_ref``: [36, h2, w2] VMEM scratch, plane ``ph*9 + dh*3 + dw``.  A
-    direct sublane-concat of the 9 window rows is rejected by Mosaic
+    ``p_ref``: [4*k*k, h2, w2] VMEM scratch, plane ``ph*k*k + dh*k + dw``.
+    A direct sublane-concat of the window rows is rejected by Mosaic
     ("offset mismatch on non-concat dimension": the slices carry different
     lane offsets), and per-cell builds need dynamic sublane starts Mosaic
     cannot prove 8-aligned — so the planes are materialized once per image
-    (first row-block cell) through 36 static 2-D copies; row-steps then
-    read one clean [36, 1, w2] block.
+    (first row-block cell) through 4*k*k static 2-D copies; row-steps then
+    read one clean [4*k*k, 1, w2] block.
     """
+    ntap = k * k
     for ph, (a, b) in enumerate(_PHASES):
-        for dh in range(K):
-            for dw in range(K):
+        for dh in range(k):
+            for dw in range(k):
                 oh, ow = a + dh, b + dw
-                p_ref[ph * NTAP + dh * K + dw] = xph_ref[
+                p_ref[ph * ntap + dh * k + dw] = xph_ref[
                     0, oh % 2, ow % 2,
                     (oh // 2) : (oh // 2) + h2,
                     (ow // 2) : (ow // 2) + w2,
                 ]
 
 
-def _conv4_row(p_ref, w4, b4, h, w2, dot_dtype):
+def _conv4_row(p_ref, w4, b4, h, w2, dot_dtype, ntap: int = NTAP):
     """All four phases' conv rows at output row ``h`` as ONE matmul.
 
-    ``w4``: [4C, 36] block-diagonal taps (already cast to ``dot_dtype``);
-    returns ``conv4`` [4C, w2] f32 (+bias) and the [36, w2] patch matrix in
-    ``dot_dtype`` (reused by the backward's kernel-gradient dot).
+    ``w4``: [4C, 4*ntap] block-diagonal taps (already cast to
+    ``dot_dtype``); returns ``conv4`` [4C, w2] f32 (+bias) and the
+    [4*ntap, w2] patch matrix in ``dot_dtype`` (reused by the backward's
+    kernel-gradient dot).
     """
-    p36 = p_ref[0:NPH * NTAP, pl.ds(h, 1), :].reshape(NPH * NTAP, w2)
+    p36 = p_ref[0:NPH * ntap, pl.ds(h, 1), :].reshape(NPH * ntap, w2)
     p36 = p36.astype(dot_dtype)
     conv4 = jax.lax.dot_general(
         w4,
@@ -138,7 +145,7 @@ def _conv4_row(p_ref, w4, b4, h, w2, dot_dtype):
 
 
 def _rows_per_cell(h2: int) -> int:
-    for r in (8, 6, 4, 3, 2):
+    for r in (8, 10, 6, 5, 4, 3, 2):
         if h2 % r == 0:
             return r
     return 1
@@ -307,14 +314,23 @@ def _dot_dtype(x):
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
+def _prep_w4_b4(w, b):
+    """Block-diagonal phase-merged weights [4C, 4*ntap] and bias [4C, 1].
+
+    ``w``: [ntap, C] taps (ntap = k*k; 9 for the DCNN variant, 25 for the
+    LCNN MFM variant)."""
+    ntap, c = w.shape
+    wt = w.astype(jnp.float32).T  # [C, ntap]
+    w4 = jnp.zeros((NPH * c, NPH * ntap), jnp.float32)
+    for ph in range(NPH):
+        w4 = w4.at[ph * c : (ph + 1) * c, ph * ntap : (ph + 1) * ntap].set(wt)
+    b4 = jnp.tile(b.astype(jnp.float32), NPH)[:, None]  # [4C, 1]
+    return w4, b4
+
+
 def _prep_params(w, b, alpha):
     """Block-diagonal phase-merged weights [4C, 36], bias [4C, 1], alpha."""
-    c = w.shape[1]
-    wt = w.astype(jnp.float32).T  # [C, 9]
-    w4 = jnp.zeros((NPH * c, NPH * NTAP), jnp.float32)
-    for ph in range(NPH):
-        w4 = w4.at[ph * c : (ph + 1) * c, ph * NTAP : (ph + 1) * NTAP].set(wt)
-    b4 = jnp.tile(b.astype(jnp.float32), NPH)[:, None]  # [4C, 1]
+    w4, b4 = _prep_w4_b4(w, b)
     alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
     return w4, b4, alpha2
 
@@ -510,6 +526,257 @@ def reference_conv1_prelu_pool(x, w, b, alpha):
         precision=jax.lax.Precision.HIGHEST,
     ) + b[None, None, None, :]
     act = jnp.where(conv >= 0, conv, alpha[0] * conv)
+    h_out, w_out = act.shape[1] // 2 * 2, act.shape[2] // 2 * 2
+    act = act[:, :h_out, :w_out]
+    act = act.reshape(bsz, h_out // 2, 2, w_out // 2, 2, -1)
+    return jnp.max(act, axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# LCNN variant: conv2d(1->C, 5x5, pad 2) + MaxFeatureMap2D + maxpool 2x2.
+#
+# Same machinery (phase decomposition, block-diagonal [4C, 4*25] dots,
+# mask-saved VJP) with a different selection set: 4 pool phases x 2 MFM
+# channel halves = 8 candidates per output element, a 3-bit code — and no
+# learnable slope, so the backward needs only dW/db.  The LCNN geometry is
+# ideal for this kernel: [B, 101, 256] input -> h2=50 rows, w2=128 lanes
+# (a full lane tile).  Reference block: models.py:73-77 + 161-209.
+# ---------------------------------------------------------------------------
+
+K_MFM = 5
+NTAP_MFM = K_MFM * K_MFM  # 25 taps per phase
+NSEL_MFM = 2 * NPH  # (phase, half) candidates
+
+
+def _mfm_cands(conv4, c_half):
+    """The 8 (phase, half) candidate slices of ``conv4`` [4C, w2], in the
+    first-match tie-break order (phase-major, half within)."""
+    c = 2 * c_half
+    return [
+        conv4[ph * c + half * c_half : ph * c + (half + 1) * c_half]
+        for ph in range(NPH)
+        for half in range(2)
+    ]
+
+
+def _fwd_mfm_kernel(
+    xph_ref, w4_ref, b4_ref, out_ref, sel_ref, p_ref, *, dot_dtype, emit_sel
+):
+    """Forward: pooled MFM max [B, h2, C/2, w2] (+ 3-bit selection code)."""
+    rows, c_half, w2 = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    h2 = p_ref.shape[1]
+    hb = pl.program_id(1)
+
+    @pl.when(hb == 0)
+    def _():
+        _build_tap_planes(xph_ref, p_ref, h2, w2, k=K_MFM)
+
+    w4 = w4_ref[...].astype(dot_dtype)
+    b4 = b4_ref[...]
+    for r in range(rows):
+        h = hb * rows + r
+        conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype, ntap=NTAP_MFM)
+        cands = _mfm_cands(conv4, c_half)
+        m = cands[0]
+        for cand in cands[1:]:
+            m = jnp.maximum(m, cand)
+        out_ref[0, r] = m.astype(out_ref.dtype)
+        if emit_sel:
+            code = jnp.zeros((c_half, w2), jnp.int32)
+            taken = None
+            for idx, cand in enumerate(cands):
+                is_max = cand == m
+                if taken is None:
+                    sel = is_max
+                    taken = is_max
+                else:
+                    sel = jnp.logical_and(is_max, jnp.logical_not(taken))
+                    taken = jnp.logical_or(taken, is_max)
+                code = jnp.where(sel, idx, code)
+            sel_ref[0, r] = code.astype(jnp.int8)
+
+
+def _bwd_mfm_kernel(
+    xph_ref, g_ref, sel_ref, dw4_ref, db4_ref, p_ref, *, dot_dtype
+):
+    """Mask-driven backward: scatter ``g`` to the selected (phase, half)
+    slice and run ONE kernel-gradient dot per row."""
+    i, hb = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, hb == 0))
+    def _():
+        dw4_ref[...] = jnp.zeros_like(dw4_ref)
+        db4_ref[...] = jnp.zeros_like(db4_ref)
+
+    rows, c_half, w2 = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    h2 = p_ref.shape[1]
+
+    @pl.when(hb == 0)
+    def _():
+        _build_tap_planes(xph_ref, p_ref, h2, w2, k=K_MFM)
+
+    c4 = NPH * 2 * c_half
+    dk_acc = jnp.zeros((c4, NPH * NTAP_MFM), jnp.float32)
+    db_acc = jnp.zeros((c4, 1), jnp.float32)
+    for r in range(rows):
+        h = hb * rows + r
+        g = g_ref[0, r].astype(jnp.float32)  # [C/2, w2]
+        code = sel_ref[0, r].astype(jnp.int32)
+        d_parts = [
+            jnp.where(code == idx, g, 0.0) for idx in range(NSEL_MFM)
+        ]
+        d_conv4 = jnp.concatenate(d_parts, axis=0)  # [4C, w2]
+        db_acc = db_acc + jnp.sum(d_conv4, axis=1, keepdims=True)
+        p100 = p_ref[0:NPH * NTAP_MFM, pl.ds(h, 1), :].reshape(
+            NPH * NTAP_MFM, w2
+        )
+        dk_acc = dk_acc + jax.lax.dot_general(
+            d_conv4.astype(dot_dtype),
+            p100.astype(dot_dtype),
+            (((1,), (1,)), ((), ())),  # contract w2 with w2 -> [4C, 4*25]
+            preferred_element_type=jnp.float32,
+        )
+    dw4_ref[...] += dk_acc
+    db4_ref[...] += db_acc
+
+
+def _mfm_fwd_impl(x, w, b, want_sel: bool):
+    bsz, h, win = x.shape
+    h2, w2 = _pad_geometry(h, win, k=K_MFM)
+    c = w.shape[-1]
+    c_half = c // 2
+    xph = _phases(x, h2, w2)
+    w4, b4 = _prep_w4_b4(w, b)
+    interpret = jax.default_backend() != "tpu"
+    rows = _rows_per_cell(h2)
+    row_spec = pl.BlockSpec(
+        (1, rows, c_half, w2), lambda i, hb: (i, hb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [row_spec]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h2, c_half, w2), x.dtype)]
+    if want_sel:
+        out_specs.append(row_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, h2, c_half, w2), jnp.int8)
+        )
+    kern = partial(
+        _fwd_mfm_kernel, dot_dtype=_dot_dtype(x), emit_sel=want_sel
+    )
+    if not want_sel:
+        def kern(xph_ref, w4_ref, b4_ref, out_ref, p_ref):  # noqa: F811
+            return _fwd_mfm_kernel(
+                xph_ref, w4_ref, b4_ref, out_ref, None, p_ref,
+                dot_dtype=_dot_dtype(x), emit_sel=False,
+            )
+    res = pl.pallas_call(
+        kern,
+        grid=(bsz, h2 // rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(w4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                b4.shape, lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(out_specs) if want_sel else out_specs[0],
+        out_shape=tuple(out_shape) if want_sel else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((NPH * NTAP_MFM, h2, w2), jnp.float32)
+        ],
+        interpret=interpret,
+    )(xph, w4, b4)
+    return res if isinstance(res, tuple) else (res,)
+
+
+@jax.custom_vjp
+def fused_conv_mfm_pool(x, w, b):
+    """``[B, H, W] x [25, C] x [C] -> [B, H2, W2, C/2]`` fused LCNN block:
+    conv2d(1->C, 5x5, pad 2) + MaxFeatureMap2D + maxpool 2x2."""
+    (out_t,) = _mfm_fwd_impl(x, w, b, want_sel=False)
+    return jnp.transpose(out_t, (0, 1, 3, 2))  # -> NHWC
+
+
+def _mfm_fwd(x, w, b):
+    out_t, sel = _mfm_fwd_impl(x, w, b, want_sel=True)
+    return jnp.transpose(out_t, (0, 1, 3, 2)), (x, w, b, sel)
+
+
+def _mfm_bwd(res, g):
+    x, w, b, sel = res
+    bsz, h, win = x.shape
+    h2, w2 = _pad_geometry(h, win, k=K_MFM)
+    c = w.shape[-1]
+    c_half = c // 2
+    xph = _phases(x, h2, w2)
+    g_t = jnp.transpose(g, (0, 1, 3, 2))  # [B, h2, C/2, w2]
+    interpret = jax.default_backend() != "tpu"
+    rows = _rows_per_cell(h2)
+    row_spec = pl.BlockSpec(
+        (1, rows, c_half, w2), lambda i, hb: (i, hb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dw4, db4 = pl.pallas_call(
+        partial(_bwd_mfm_kernel, dot_dtype=_dot_dtype(x)),
+        grid=(bsz, h2 // rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + xph.shape[1:], lambda i, hb: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row_spec,  # g
+            row_spec,  # sel (int8)
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (NPH * c, NPH * NTAP_MFM), lambda i, hb: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NPH * c, 1), lambda i, hb: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NPH * c, NPH * NTAP_MFM), jnp.float32),
+            jax.ShapeDtypeStruct((NPH * c, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NPH * NTAP_MFM, h2, w2), jnp.float32)
+        ],
+        interpret=interpret,
+    )(xph, g_t, sel)
+    dk = sum(
+        dw4[ph * c : (ph + 1) * c, ph * NTAP_MFM : (ph + 1) * NTAP_MFM]
+        for ph in range(NPH)
+    )  # [C, 25]
+    db = jnp.sum(db4[:, 0].reshape(NPH, c), axis=0)
+    return (
+        jnp.zeros_like(x),  # input grad unused (transform is stop-gradient)
+        dk.T.astype(w.dtype),
+        db.astype(b.dtype),
+    )
+
+
+fused_conv_mfm_pool.defvjp(_mfm_fwd, _mfm_bwd)
+
+
+def reference_conv_mfm_pool(x, w, b):
+    """Unfused XLA reference of the LCNN block (for tests)."""
+    bsz, h, win = x.shape
+    kern = w.reshape(K_MFM, K_MFM, 1, -1)
+    conv = jax.lax.conv_general_dilated(
+        x[..., None],
+        kern,
+        window_strides=(1, 1),
+        padding=[(PAD, PAD), (PAD, PAD)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b[None, None, None, :]
+    c_half = conv.shape[-1] // 2
+    act = jnp.maximum(conv[..., :c_half], conv[..., c_half:])
     h_out, w_out = act.shape[1] // 2 * 2, act.shape[2] // 2 * 2
     act = act[:, :h_out, :w_out]
     act = act.reshape(bsz, h_out // 2, 2, w_out // 2, 2, -1)

@@ -10,7 +10,9 @@ import pytest
 from audiodeepfake_detection_tpu.ops.fused_conv1 import (
     fused_conv1_prelu_pool,
     fused_conv1_prelu_pool_stats,
+    fused_conv_mfm_pool,
     reference_conv1_prelu_pool,
+    reference_conv_mfm_pool,
 )
 
 
@@ -177,6 +179,83 @@ class TestFusedConv1:
             np.testing.assert_allclose(
                 np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-5
             )
+
+
+class TestFusedMFM:
+    """LCNN variant: conv(5x5) + MaxFeatureMap2D + pool 2x2."""
+
+    @pytest.mark.parametrize("h,w,c", [(101, 256, 8), (63, 128, 4)])
+    def test_forward_matches_reference(self, h, w, c):
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, h, w).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(25, c).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+        ref = reference_conv_mfm_pool(x, wgt, b)
+        got = fused_conv_mfm_pool(x, wgt, b)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(2, 63, 128).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(25, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        gf = jax.grad(
+            lambda w_, b_: jnp.sum(fused_conv_mfm_pool(x, w_, b_) ** 2),
+            argnums=(0, 1),
+        )(wgt, b)
+        gr = jax.grad(
+            lambda w_, b_: jnp.sum(reference_conv_mfm_pool(x, w_, b_) ** 2),
+            argnums=(0, 1),
+        )(wgt, b)
+        for a_, b_ in zip(gf, gr):
+            scale = max(float(jnp.max(jnp.abs(b_))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-5
+            )
+
+    def test_bf16_forward_and_train_step(self):
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 101, 256).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(25, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        ref = reference_conv_mfm_pool(x, wgt, b)
+        got = fused_conv_mfm_pool(
+            x.astype(jnp.bfloat16),
+            wgt.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+        )
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32) / scale,
+            np.asarray(ref) / scale,
+            atol=0.05,
+        )
+        # bf16 gradient smoke: finite and non-zero
+        g = jax.grad(
+            lambda w_: jnp.sum(
+                fused_conv_mfm_pool(
+                    x.astype(jnp.bfloat16), w_, b.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                ** 2
+            )
+        )(wgt.astype(jnp.bfloat16))
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+        assert float(jnp.max(jnp.abs(g.astype(jnp.float32)))) > 0
+
+    def test_fused_lcnn_forward_parity(self):
+        from audiodeepfake_detection_tpu.models import LCNN
+
+        x = np.random.RandomState(8).randn(2, 1, 256, 101).astype(np.float32)
+        base_model = LCNN(lstm_channels=256)
+        v = base_model.init(jax.random.key(0), x, train=False)
+        base = np.asarray(base_model.apply(v, x, train=False))
+        fused = np.asarray(
+            LCNN(lstm_channels=256, fused_layer1="always").apply(
+                v, x, train=False
+            )
+        )
+        np.testing.assert_allclose(fused, base, atol=1e-4)
 
 
 class TestFusedDCNN:
