@@ -71,6 +71,11 @@ class DCNN(nn.Module):
     # 3.55 vs 3.90 ms/step at batch 128); "always" forces it in eval too
     # (parity tests).
     fused_layer1: Any = False
+    # Fuse PReLU+maxpool at the second/third pools into one Pallas pass
+    # with a mask-saved VJP (ops/fused_pool.py): the backward reconstructs
+    # the full-size cotangent from a 3-bit code instead of running
+    # select-and-scatter + PReLU compare-select. Same True/"always" gating.
+    fused_pool: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -160,15 +165,38 @@ class DCNN(nn.Module):
         )
         x = PReLU(name="cnn_5")(x)
         x = bn_conv(x, "cnn_6", "cnn_7", False, self.ochannels3, 3, 1)
-        x = PReLU(name="cnn_8")(x)
-        x = max_pool_2x2(x)
-        x = bn_conv(x, "cnn_10", "cnn_11", False, self.ochannels4, 3, 1)
+
+        use_fused_pool = bool(self.fused_pool) and (
+            train or self.fused_pool == "always"
+        )
+
+        def prelu_pool(x, alpha_name, want_stats):
+            """PReLU + maxpool 2x2, fused (mask-saved VJP) when enabled."""
+            if not use_fused_pool:
+                x = PReLU(name=alpha_name)(x)
+                return max_pool_2x2(x), None
+            from ..ops.fused_pool import (
+                fused_prelu_pool,
+                fused_prelu_pool_stats,
+            )
+
+            alpha = _AlphaScope(name=alpha_name)().reshape(1)
+            if want_stats:
+                x, s, q = fused_prelu_pool_stats(x, alpha)
+                return x, (s, q)
+            return fused_prelu_pool(x, alpha), None
+
+        x, bn10_stats = prelu_pool(x, "cnn_8", train and self.fold_bn)
+        x = bn_conv(
+            x, "cnn_10", "cnn_11", False, self.ochannels4, 3, 1,
+            stats=bn10_stats,
+        )
         x = PReLU(name="cnn_12")(x)
         x = bn_conv(x, "cnn_13", "cnn_14", False, self.ochannels5, 3, 1)
         x = PReLU(name="cnn_15")(x)
         x = bn_conv(x, "cnn_16", "cnn_17", False, 64, 3, 1)
-        x = PReLU(name="cnn_18")(x)
-        x = max_pool_2x2(x)
+        # pool3 feeds the dropout/transpose, not a BatchNorm: no stats
+        x, _ = prelu_pool(x, "cnn_18", False)
         if self.with_dropout:
             x = Dropout(self.dropout_cnn, name="cnn_drop")(x, train)
 

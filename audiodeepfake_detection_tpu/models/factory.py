@@ -48,6 +48,11 @@ def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) ->
             if str(args.fused_layer1).lower() == "always"
             else bool(args.fused_layer1)
         ),
+        fused_pool=(
+            "always"
+            if str(args.fused_pool).lower() == "always"
+            else bool(args.fused_pool)
+        ),
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
         ochannels2=args.ochannels2 or 64,

@@ -110,6 +110,7 @@ def default_config() -> DotDict:
         data_path=None,
         dtype="float32",
         fused_layer1=False,
+        fused_pool=False,
         frame_cache=False,
         steps_per_call=1,
     )

@@ -258,6 +258,83 @@ class TestFusedMFM:
         np.testing.assert_allclose(fused, base, atol=1e-4)
 
 
+class TestFusedPool:
+    """PReLU + maxpool 2x2 fused block (ops/fused_pool.py)."""
+
+    @pytest.mark.parametrize("h,w,c", [(48, 129, 96), (24, 64, 64), (7, 9, 8)])
+    def test_forward_matches_reference(self, h, w, c):
+        from audiodeepfake_detection_tpu.ops.fused_pool import (
+            fused_prelu_pool,
+            reference_prelu_pool,
+        )
+
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        alpha = jnp.asarray([0.25], np.float32)
+        ref = reference_prelu_pool(x, alpha)
+        got = fused_prelu_pool(x, alpha)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def test_gradients_match_reference(self):
+        from audiodeepfake_detection_tpu.ops.fused_pool import (
+            fused_prelu_pool,
+            fused_prelu_pool_stats,
+            reference_prelu_pool,
+        )
+
+        rng = np.random.RandomState(10)
+        x = jnp.asarray(rng.randn(2, 12, 33, 16).astype(np.float32))
+        alpha = jnp.asarray([0.25], np.float32)
+        n = 2 * 6 * 16
+
+        def bn_like(y, s, q):
+            mean = s / n
+            var = q / n - mean**2
+            return jnp.sum(((y - mean) * jax.lax.rsqrt(var + 1e-5)) ** 2) / (
+                y.size
+            ) + jnp.sum(mean**2)
+
+        gf = jax.grad(
+            lambda x_, a_: jnp.sum(fused_prelu_pool(x_, a_) ** 2),
+            argnums=(0, 1),
+        )(x, alpha)
+        gr = jax.grad(
+            lambda x_, a_: jnp.sum(reference_prelu_pool(x_, a_) ** 2),
+            argnums=(0, 1),
+        )(x, alpha)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=3e-5)
+
+        # stats variant: moment cotangents fold into the element gradient
+        gfs = jax.grad(
+            lambda x_, a_: bn_like(*fused_prelu_pool_stats(x_, a_)),
+            argnums=(0, 1),
+        )(x, alpha)
+        grs = jax.grad(
+            lambda x_, a_: bn_like(
+                reference_prelu_pool(x_, a_),
+                jnp.sum(reference_prelu_pool(x_, a_), axis=(0, 1, 2)),
+                jnp.sum(reference_prelu_pool(x_, a_) ** 2, axis=(0, 1, 2)),
+            ),
+            argnums=(0, 1),
+        )(x, alpha)
+        for a_, b_ in zip(gfs, grs):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=3e-5)
+
+    def test_fused_dcnn_pool_forward_parity(self):
+        from audiodeepfake_detection_tpu.models import DCNN
+
+        x = np.random.RandomState(11).randn(2, 1, 256, 95).astype(np.float32)
+        base_model = DCNN(time_dim=12)
+        v = base_model.init(jax.random.key(0), x, train=False)
+        base = np.asarray(base_model.apply(v, x, train=False))
+        fused = np.asarray(
+            DCNN(time_dim=12, fused_pool="always").apply(v, x, train=False)
+        )
+        np.testing.assert_allclose(fused, base, atol=1e-5)
+
+
 class TestFusedDCNN:
     def test_bundled_checkpoint_forward_parity(self):
         from audiodeepfake_detection_tpu.models import (
