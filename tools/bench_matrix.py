@@ -91,7 +91,9 @@ def main() -> None:
         "stft + DCNN bf16 fused-l1",
     )
     bench_step(
-        LCNN(lstm_channels=256, **fast), stft_transform, "stft + LCNN bf16"
+        LCNN(lstm_channels=256, fused_layer1=True, **fast),
+        stft_transform,
+        "stft + LCNN bf16 fused-l1",
     )
     # fused_layer1=True engages the kernel only under train=True, so this
     # measures the XLA eval forward (which beats the kernel for inference)
