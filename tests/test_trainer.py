@@ -173,6 +173,46 @@ class TestMultiStep:
             )
         assert int(s_multi.step) == 3
 
+    def test_scan_composes_with_fused_kernels(self):
+        """lax.scan over the train step must compose with the Pallas fused
+        layer-1 kernel (production speed config uses both)."""
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_multi_train_step,
+            make_optimizer,
+            stack_batches,
+        )
+
+        model = DCNN(
+            time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+            ochannels4=8, ochannels5=2, with_dropout=False,
+            fused_layer1=True,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        tx = make_optimizer(4e-4, 1e-3)
+        rng = np.random.RandomState(1)
+        batches = [
+            {
+                "audio": rng.randn(4, 1, 2048).astype(np.float32),
+                "label": rng.randint(0, 2, 4).astype(np.int32),
+            }
+            for _ in range(2)
+        ]
+        img = transform(jnp.asarray(batches[0]["audio"]))
+        state = create_train_state(model, tx, img, seed=0)
+        multi = make_multi_train_step(model, transform, tx)
+        state, stacked = multi(state, stack_batches(batches))
+        losses = np.asarray(stacked["loss"], np.float32)
+        assert losses.shape == (2,) and np.isfinite(losses).all()
+        assert int(state.step) == 2
+
 
 class TestInt16Batches:
     def test_train_and_eval_steps_accept_pcm(self):
