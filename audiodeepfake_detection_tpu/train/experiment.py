@@ -95,6 +95,14 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
     parser.add_argument("--frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
+    # speed mode: bf16 activations + Pallas fused first-layer kernels
+    # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md)
+    parser.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default=d.dtype
+    )
+    parser.add_argument(
+        "--fused-layer1", action="store_true", default=d.fused_layer1
+    )
     parser.add_argument("--only-ig", action="store_true")
     parser.add_argument("--config", type=str, default=None)
     return parser
