@@ -76,6 +76,10 @@ class DCNN(nn.Module):
     # the full-size cotangent from a 3-bit code instead of running
     # select-and-scatter + PReLU compare-select. Same True/"always" gating.
     fused_pool: Any = False
+    # Device mesh for SPMD: when set and >1 devices, the fused kernels run
+    # per batch shard via shard_map (ops/fused_conv1.batch_shard_mapped) —
+    # GSPMD would otherwise replicate the Pallas custom call.
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -105,6 +109,7 @@ class DCNN(nn.Module):
         )
         if use_fused:
             from ..ops.fused_conv1 import (
+                batch_shard_mapped,
                 fused_conv1_prelu_pool,
                 fused_conv1_prelu_pool_stats,
             )
@@ -119,13 +124,26 @@ class DCNN(nn.Module):
                 bias.astype(x.dtype),
                 alpha.reshape(1).astype(x.dtype),
             )
+            fused_fn, fused_stats_fn = (
+                fused_conv1_prelu_pool,
+                fused_conv1_prelu_pool_stats,
+            )
+            if (
+                self.mesh is not None
+                and getattr(self.mesh, "size", 1) > 1
+                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
+            ):
+                fused_fn = batch_shard_mapped(fused_fn, self.mesh)
+                fused_stats_fn = batch_shard_mapped(
+                    fused_stats_fn, self.mesh, stat_outputs=2
+                )
             if train and self.fold_bn:
                 # also accumulate the next BN's moments in-kernel: the
                 # 100+ MB activation is never re-read by a stats pass
-                x, bn_sum, bn_sumsq = fused_conv1_prelu_pool_stats(*fused_args)
+                x, bn_sum, bn_sumsq = fused_stats_fn(*fused_args)
                 bn3_stats = (bn_sum, bn_sumsq)
             else:
-                x = fused_conv1_prelu_pool(*fused_args)
+                x = fused_fn(*fused_args)
         else:
             # first conv via the bandwidth-lean custom VJP: XLA's default
             # transpose reverses the full 410 MB gradient tensor

@@ -28,7 +28,9 @@ _MODULE_REGISTRY = {
 }
 
 
-def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) -> DCNN:
+def _build_dcnn(
+    args: DotDict, variant: str, nclasses: int, in_channels: int, mesh=None
+) -> DCNN:
     time_dim = int(args.input_dim[-1]) // 8 + int(args.time_dim_add or 0)
     import jax.numpy as jnp
 
@@ -53,6 +55,7 @@ def _build_dcnn(args: DotDict, variant: str, nclasses: int, in_channels: int) ->
             if str(args.fused_pool).lower() == "always"
             else bool(args.fused_pool)
         ),
+        mesh=mesh,
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
         ochannels2=args.ochannels2 or 64,
@@ -75,6 +78,7 @@ def get_model(
     nclasses: int = 2,
     in_channels: int = 1,
     lead: bool = False,
+    mesh=None,
 ) -> Union[LCNN, Any]:
     """Build the model named by ``model_name`` from the experiment config."""
     if model_name == "lcnn":
@@ -106,6 +110,7 @@ def get_model(
                 if str(args.fused_layer1).lower() == "always"
                 else bool(args.fused_layer1)
             ),
+            mesh=mesh,
         )
     if model_name == "gridmodel":
         if args.model_data is None:
@@ -121,7 +126,7 @@ def get_model(
         else:
             name = str(module)
         if name in _MODULE_REGISTRY:
-            return _build_dcnn(args, name, nclasses, in_channels)
+            return _build_dcnn(args, name, nclasses, in_channels, mesh=mesh)
         if name == "Regression":
             return Regression(nclasses=nclasses)
         if callable(module):

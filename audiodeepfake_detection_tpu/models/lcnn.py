@@ -37,6 +37,8 @@ class LCNN(nn.Module):
     # in the fwd+bwd pair); "always" forces it in eval too (parity tests).
     # Requires a single input channel.
     fused_layer1: Any = False
+    # Device mesh for SPMD (see models/dcnn.py::DCNN.mesh).
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -80,9 +82,19 @@ class LCNN(nn.Module):
         if use_fused:
             # one Pallas pass: the 420+ MB pre-pool activation never leaves
             # VMEM (ops/fused_conv1.py, MFM variant)
-            from ..ops.fused_conv1 import fused_conv_mfm_pool
+            from ..ops.fused_conv1 import (
+                batch_shard_mapped,
+                fused_conv_mfm_pool,
+            )
 
-            x = fused_conv_mfm_pool(
+            fn = fused_conv_mfm_pool
+            if (
+                self.mesh is not None
+                and getattr(self.mesh, "size", 1) > 1
+                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
+            ):
+                fn = batch_shard_mapped(fn, self.mesh)
+            x = fn(
                 x[..., 0],
                 kernel.reshape(25, 64).astype(x.dtype),
                 bias.astype(x.dtype),

@@ -513,6 +513,46 @@ fused_conv1_prelu_pool.defvjp(_fused_fwd, _fused_bwd)
 fused_conv1_prelu_pool_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)
 
 
+def batch_shard_mapped(fn, mesh, axis: str = "data", stat_outputs: int = 0):
+    """SPMD wrapper: run a fused kernel per batch shard via ``shard_map``.
+
+    Under plain ``jit`` + GSPMD, an unpartitioned Pallas custom call is
+    replicated by XLA — correct, but it all-gathers the batch for that op
+    on a multi-chip mesh.  Wrapping in ``shard_map`` runs the kernel on
+    each device's batch shard, which is exact: the grid's leading dim IS
+    the batch, and the weights are replicated.  The last ``stat_outputs``
+    outputs are global sums and are ``psum``'d over ``axis`` (their
+    cotangents broadcast back to every shard in the backward, matching the
+    unsharded math).  Callers must ensure the batch divides the axis size
+    (the data loaders guarantee this; ``shard_batch`` pads otherwise).
+    """
+
+    def call(*args):
+        res = fn(*args)
+        if stat_outputs == 0:
+            return res
+        outs = list(res)
+        for i in range(len(outs) - stat_outputs, len(outs)):
+            outs[i] = jax.lax.psum(outs[i], axis)
+        return tuple(outs)
+
+    def wrapped(*args):
+        from jax.sharding import PartitionSpec as P
+
+        in_specs = (P(axis),) + (P(),) * (len(args) - 1)
+        out_specs = (
+            P(axis) if stat_outputs == 0 else (P(axis),) + (P(),) * stat_outputs
+        )
+        # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry
+        # no varying-mesh-axes annotation, which the checker requires
+        return jax.shard_map(
+            call, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(*args)
+
+    return wrapped
+
+
 def reference_conv1_prelu_pool(x, w, b, alpha):
     """Unfused XLA reference of the same block (for tests)."""
     bsz, h, win = x.shape

@@ -234,6 +234,10 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         raise NotImplementedError(
             f"LFCC features are currently not implemented for {args.model}."
         )
+    # NB: with a multi-device mesh the factory threads it into the model so
+    # the fused Pallas kernels run per batch shard via shard_map
+    # (ops/fused_conv1.batch_shard_mapped) instead of being replicated by
+    # GSPMD's unknown-custom-call handling.
     loss_less = args.loss_less == "True"
     if args.transform == "stft" and loss_less:
         raise ValueError(
@@ -269,6 +273,7 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         args.model,
         nclasses=int(args.nclasses or 2),
         in_channels=2 if loss_less else 1,
+        mesh=mesh,
     )
     model_name = model.get_name() if args.model == "modules" else "customModel"
 

@@ -83,6 +83,71 @@ class TestDevicePrefetch:
             assert b["x"].sharding.spec[0] == "data"
 
 
+class TestShardMappedFusedKernels:
+    def test_fused_dp_step_matches_unfused_dp_step(self, eight_devices):
+        """With a multi-device mesh threaded into the model, the fused
+        layer-1 kernel runs per batch shard via shard_map (GSPMD would
+        replicate the Pallas custom call).  Comparing against the UNFUSED
+        model on the SAME sharded mesh isolates the kernel substitution:
+        single-vs-multi-device runs differ by ~2e-4 from generic fp32
+        reduction order even without any Pallas (measured), so that is not
+        the interesting comparison."""
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_train_step,
+        )
+
+        mesh = get_mesh()
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        kw = dict(
+            time_dim=1, ochannels1=8, ochannels2=8, ochannels3=12,
+            ochannels4=16, ochannels5=4, with_dropout=False,
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            "audio": rng.randn(16, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 16).astype(np.int32),
+        }
+        img = transform(jnp.asarray(batch["audio"][:2]))
+        # SGD keeps the param comparison linear in the gradients (Adam's
+        # step-1 g/|g| normalization amplifies fp32 noise on near-zero
+        # gradients)
+        import optax
+
+        tx = optax.sgd(1e-2)
+        db = shard_batch(mesh, batch)
+
+        def run(model):
+            s = create_train_state(model, tx, img, seed=0)
+            s = s._replace(
+                params=replicate(mesh, s.params),
+                batch_stats=replicate(mesh, s.batch_stats),
+                opt_state=replicate(mesh, s.opt_state),
+            )
+            return make_train_step(model, transform, tx)(s, db)
+
+        s0, st0 = run(DCNN(**kw))  # unfused, GSPMD
+        s1, st1 = run(DCNN(mesh=mesh, fused_layer1=True, **kw))  # shard_map'd
+
+        np.testing.assert_allclose(
+            float(st0["loss"]), float(st1["loss"]), rtol=1e-5
+        )
+        for tree0, tree1 in ((s0.params, s1.params),
+                             (s0.batch_stats, s1.batch_stats)):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+                ),
+                tree0,
+                tree1,
+            )
+
+
 class TestTensorParallelAST:
     def test_tp_forward_matches_replicated(self, eight_devices):
         """Megatron-layout AST params over a (data=2, model=4) mesh produce
