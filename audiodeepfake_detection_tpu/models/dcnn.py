@@ -193,16 +193,27 @@ class DCNN(nn.Module):
             if not use_fused_pool:
                 x = PReLU(name=alpha_name)(x)
                 return max_pool_2x2(x), None
+            from ..ops.fused_conv1 import batch_shard_mapped
             from ..ops.fused_pool import (
                 fused_prelu_pool,
                 fused_prelu_pool_stats,
             )
 
+            pool_fn, pool_stats_fn = fused_prelu_pool, fused_prelu_pool_stats
+            if (
+                self.mesh is not None
+                and getattr(self.mesh, "size", 1) > 1
+                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
+            ):
+                pool_fn = batch_shard_mapped(pool_fn, self.mesh)
+                pool_stats_fn = batch_shard_mapped(
+                    pool_stats_fn, self.mesh, stat_outputs=2
+                )
             alpha = _AlphaScope(name=alpha_name)().reshape(1)
             if want_stats:
-                x, s, q = fused_prelu_pool_stats(x, alpha)
+                x, s, q = pool_stats_fn(x, alpha)
                 return x, (s, q)
-            return fused_prelu_pool(x, alpha), None
+            return pool_fn(x, alpha), None
 
         x, bn10_stats = prelu_pool(x, "cnn_8", train and self.fold_bn)
         x = bn_conv(

@@ -28,33 +28,39 @@ _MODULE_REGISTRY = {
 }
 
 
+def _tri_flag(value):
+    """Tri-state fused-kernel flag: False / True (train-only) / "always".
+
+    Passed through verbatim so config strings keep the force-in-eval mode
+    (``bool("always")`` would silently collapse it to train-only True).
+    """
+    return "always" if str(value).lower() == "always" else bool(value)
+
+
+def _dtype_precision(args: DotDict):
+    """(dtype, precision) for the configured compute mode: bf16 speed mode
+    gets ``Precision.DEFAULT`` MXU passes; fp32 stays exact (None ->
+    HIGHEST inside the models)."""
+    import jax.numpy as jnp
+
+    dtype = {"bfloat16": jnp.bfloat16}.get(str(args.dtype), None)
+    if dtype is None:
+        return None, None
+    import jax
+
+    return dtype, jax.lax.Precision.DEFAULT
+
+
 def _build_dcnn(
     args: DotDict, variant: str, nclasses: int, in_channels: int, mesh=None
 ) -> DCNN:
     time_dim = int(args.input_dim[-1]) // 8 + int(args.time_dim_add or 0)
-    import jax.numpy as jnp
-
-    dtype = {"bfloat16": jnp.bfloat16}.get(str(args.dtype), None)
-    precision = "default" if dtype is not None else None
-    if precision == "default":
-        import jax
-
-        precision = jax.lax.Precision.DEFAULT
+    dtype, precision = _dtype_precision(args)
     return DCNN(
         dtype=dtype,
         precision=precision,
-        # pass through verbatim: True = train-only kernel, "always" forces
-        # it in eval too (bool() would silently collapse "always" to True)
-        fused_layer1=(
-            "always"
-            if str(args.fused_layer1).lower() == "always"
-            else bool(args.fused_layer1)
-        ),
-        fused_pool=(
-            "always"
-            if str(args.fused_pool).lower() == "always"
-            else bool(args.fused_pool)
-        ),
+        fused_layer1=_tri_flag(args.fused_layer1),
+        fused_pool=_tri_flag(args.fused_pool),
         mesh=mesh,
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,
@@ -91,25 +97,14 @@ def get_model(
             lstm_channels = 20
         else:
             lstm_channels = int(args.num_of_scales)
-        import jax.numpy as jnp
-
-        dtype = {"bfloat16": jnp.bfloat16}.get(str(args.dtype), None)
-        precision = None
-        if dtype is not None:
-            import jax
-
-            precision = jax.lax.Precision.DEFAULT
+        dtype, precision = _dtype_precision(args)
         return LCNN(
             classes=nclasses,
             in_channels=in_channels,
             lstm_channels=lstm_channels,
             dtype=dtype,
             precision=precision,
-            fused_layer1=(
-                "always"
-                if str(args.fused_layer1).lower() == "always"
-                else bool(args.fused_layer1)
-            ),
+            fused_layer1=_tri_flag(args.fused_layer1),
             mesh=mesh,
         )
     if model_name == "gridmodel":

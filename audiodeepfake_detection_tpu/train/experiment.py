@@ -96,12 +96,17 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
     # speed mode: bf16 activations + Pallas fused first-layer kernels
-    # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md)
+    # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
+    # Tri-state: off / train (kernel for training only) / always (eval
+    # too — parity tests); default None = whatever the config file says.
     parser.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=d.dtype
     )
     parser.add_argument(
-        "--fused-layer1", action="store_true", default=d.fused_layer1
+        "--fused-layer1", choices=["off", "train", "always"], default=None
+    )
+    parser.add_argument(
+        "--fused-pool", choices=["off", "train", "always"], default=None
     )
     parser.add_argument("--only-ig", action="store_true")
     parser.add_argument("--config", type=str, default=None)
@@ -238,6 +243,19 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     # the fused Pallas kernels run per batch shard via shard_map
     # (ops/fused_conv1.batch_shard_mapped) instead of being replicated by
     # GSPMD's unknown-custom-call handling.
+    if args.only_ig and (args.get("fused_layer1") or args.get("fused_pool")):
+        # integrated gradients differentiate the LOSS W.R.T. THE INPUT
+        # IMAGE; the fused kernels' compact VJPs return zero input
+        # cotangents by design (the transform in front is stop-gradient
+        # during training), which would make every attribution map
+        # silently zero — force the unfused, fully-differentiable path.
+        print(
+            "only_ig: disabling fused kernels (their compact VJPs carry "
+            "no input gradient; attributions need the unfused path)."
+        )
+        args = args.copy()
+        args.fused_layer1 = False
+        args.fused_pool = False
     loss_less = args.loss_less == "True"
     if args.transform == "stft" and loss_less:
         raise ValueError(
@@ -324,7 +342,15 @@ def main(argv=None) -> None:
     parser = add_default_parser_args(parser)
     parsed = parser.parse_args(argv)
     args = default_config()
-    args.update({k: v for k, v in vars(parsed).items()})
+    flags = dict(vars(parsed))
+    # tri-state CLI flags: None = keep the config value
+    tri = {"off": False, "train": True, "always": "always"}
+    for key in ("fused_layer1", "fused_pool"):
+        if flags.get(key) is None:
+            flags.pop(key, None)
+        else:
+            flags[key] = tri[flags[key]]
+    args.update(flags)
 
     maybe_initialize_distributed()
 
