@@ -356,6 +356,37 @@ class TestFusedDCNN:
         )
         np.testing.assert_allclose(fused, base, atol=1e-4)
 
+    def test_eval_gating_uses_xla_path(self):
+        # fused_layer1=True engages the kernel for TRAINING only: in eval
+        # the model must be BITWISE identical to the unfused one (same XLA
+        # program), unlike "always" which runs the kernel.
+        from audiodeepfake_detection_tpu.models import DCNN
+
+        x = np.random.RandomState(12).randn(2, 1, 256, 95).astype(np.float32)
+        base_model = DCNN(time_dim=12)
+        v = base_model.init(jax.random.key(0), x, train=False)
+        base = np.asarray(base_model.apply(v, x, train=False))
+        gated = np.asarray(
+            DCNN(time_dim=12, fused_layer1=True).apply(v, x, train=False)
+        )
+        np.testing.assert_array_equal(gated, base)
+
+    def test_two_channel_input_falls_back_to_unfused(self):
+        # loss_less sign-channel configs feed 2 input channels; the fused
+        # kernel requires 1 and the model must silently use the XLA path
+        from audiodeepfake_detection_tpu.models import DCNN
+
+        x = np.random.RandomState(13).randn(2, 2, 256, 95).astype(np.float32)
+        base_model = DCNN(time_dim=12, in_channels=2)
+        v = base_model.init(jax.random.key(0), x, train=False)
+        base = np.asarray(base_model.apply(v, x, train=False))
+        fused = np.asarray(
+            DCNN(time_dim=12, in_channels=2, fused_layer1="always").apply(
+                v, x, train=False
+            )
+        )
+        np.testing.assert_array_equal(fused, base)
+
     def test_train_step_runs_with_fused_layer(self):
         from audiodeepfake_detection_tpu.models import DCNN
         from audiodeepfake_detection_tpu.ops.wpt import packet_image
