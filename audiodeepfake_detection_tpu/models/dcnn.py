@@ -124,15 +124,13 @@ class DCNN(nn.Module):
                 bias.astype(x.dtype),
                 alpha.reshape(1).astype(x.dtype),
             )
+            from ..ops.fused_conv1 import can_batch_shard
+
             fused_fn, fused_stats_fn = (
                 fused_conv1_prelu_pool,
                 fused_conv1_prelu_pool_stats,
             )
-            if (
-                self.mesh is not None
-                and getattr(self.mesh, "size", 1) > 1
-                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
-            ):
+            if can_batch_shard(self.mesh, x.shape[0]):
                 fused_fn = batch_shard_mapped(fused_fn, self.mesh)
                 fused_stats_fn = batch_shard_mapped(
                     fused_stats_fn, self.mesh, stat_outputs=2
@@ -193,18 +191,14 @@ class DCNN(nn.Module):
             if not use_fused_pool:
                 x = PReLU(name=alpha_name)(x)
                 return max_pool_2x2(x), None
-            from ..ops.fused_conv1 import batch_shard_mapped
+            from ..ops.fused_conv1 import batch_shard_mapped, can_batch_shard
             from ..ops.fused_pool import (
                 fused_prelu_pool,
                 fused_prelu_pool_stats,
             )
 
             pool_fn, pool_stats_fn = fused_prelu_pool, fused_prelu_pool_stats
-            if (
-                self.mesh is not None
-                and getattr(self.mesh, "size", 1) > 1
-                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
-            ):
+            if can_batch_shard(self.mesh, x.shape[0]):
                 pool_fn = batch_shard_mapped(pool_fn, self.mesh)
                 pool_stats_fn = batch_shard_mapped(
                     pool_stats_fn, self.mesh, stat_outputs=2

@@ -84,15 +84,12 @@ class LCNN(nn.Module):
             # VMEM (ops/fused_conv1.py, MFM variant)
             from ..ops.fused_conv1 import (
                 batch_shard_mapped,
+                can_batch_shard,
                 fused_conv_mfm_pool,
             )
 
             fn = fused_conv_mfm_pool
-            if (
-                self.mesh is not None
-                and getattr(self.mesh, "size", 1) > 1
-                and x.shape[0] % self.mesh.shape.get("data", 1) == 0
-            ):
+            if can_batch_shard(self.mesh, x.shape[0]):
                 fn = batch_shard_mapped(fn, self.mesh)
             x = fn(
                 x[..., 0],

@@ -513,6 +513,16 @@ fused_conv1_prelu_pool.defvjp(_fused_fwd, _fused_bwd)
 fused_conv1_prelu_pool_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)
 
 
+def can_batch_shard(mesh, batch_size: int, axis: str = "data") -> bool:
+    """True when a fused kernel should be shard_map'd over ``mesh``: the
+    mesh exists, has the named batch axis with >1 devices, and the batch
+    divides evenly across it (the gate used by DCNN/LCNN)."""
+    if mesh is None:
+        return False
+    n = getattr(mesh, "shape", {}).get(axis, 1) if hasattr(mesh, "shape") else 1
+    return n > 1 and batch_size % n == 0
+
+
 def batch_shard_mapped(fn, mesh, axis: str = "data", stat_outputs: int = 0):
     """SPMD wrapper: run a fused kernel per batch shard via ``shard_map``.
 
@@ -523,8 +533,9 @@ def batch_shard_mapped(fn, mesh, axis: str = "data", stat_outputs: int = 0):
     the batch, and the weights are replicated.  The last ``stat_outputs``
     outputs are global sums and are ``psum``'d over ``axis`` (their
     cotangents broadcast back to every shard in the backward, matching the
-    unsharded math).  Callers must ensure the batch divides the axis size
-    (the data loaders guarantee this; ``shard_batch`` pads otherwise).
+    unsharded math).  Callers must ensure the axis size divides the batch
+    (``can_batch_shard``; the data loaders guarantee this, and
+    ``shard_batch`` pads otherwise).
     """
 
     def call(*args):
@@ -700,11 +711,13 @@ def _mfm_fwd_impl(x, w, b, want_sel: bool):
         out_shape.append(
             jax.ShapeDtypeStruct((bsz, h2, c_half, w2), jnp.int8)
         )
-    kern = partial(
-        _fwd_mfm_kernel, dot_dtype=_dot_dtype(x), emit_sel=want_sel
-    )
-    if not want_sel:
-        def kern(xph_ref, w4_ref, b4_ref, out_ref, p_ref):  # noqa: F811
+    if want_sel:
+        kern = partial(
+            _fwd_mfm_kernel, dot_dtype=_dot_dtype(x), emit_sel=True
+        )
+    else:
+        # no sel output -> one fewer positional ref; thread None explicitly
+        def kern(xph_ref, w4_ref, b4_ref, out_ref, p_ref):
             return _fwd_mfm_kernel(
                 xph_ref, w4_ref, b4_ref, out_ref, None, p_ref,
                 dot_dtype=_dot_dtype(x), emit_sel=False,

@@ -50,16 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NSEL = 4  # pool window positions (dh*2 + dw)
 
-
-def _dot_free_dtype(x):
-    return x.dtype
-
-
-def _rows_per_cell(h2: int) -> int:
-    for r in (8, 6, 4, 3, 2):
-        if h2 % r == 0:
-            return r
-    return 1
+from .fused_conv1 import _rows_per_cell  # noqa: E402  (shared row-block rule)
 
 
 def _fwd_kernel(x_ref, alpha_ref, *refs, emit_sel, emit_stats):
@@ -264,7 +255,10 @@ def _run_bwd(res, g, gs=None, gq=None):
         ),
         interpret=interpret,
     )(*inputs)
-    if 2 * h2 != h:  # dropped odd row (floor pool): zero cotangent
+    if 2 * h2 != h:  # dropped odd row (floor pool): zero cotangent.
+        # NB: this concat re-copies the full-size dx; acceptable because
+        # odd-H pool inputs are rare and the op is off by default — an
+        # in-kernel tail write would need a non-uniform last block.
         dx = jnp.concatenate(
             [dx, jnp.zeros((bsz, h - 2 * h2, w, c), dx.dtype)], axis=1
         )

@@ -148,6 +148,66 @@ class TestShardMappedFusedKernels:
             )
 
 
+class TestShardMappedSingleOutputKernels:
+    def test_mfm_kernel_matches_unsharded(self, eight_devices):
+        """The stat_outputs=0 branch of batch_shard_mapped (single-array
+        return) — the LCNN fused path — must match the unsharded kernel."""
+        from audiodeepfake_detection_tpu.ops.fused_conv1 import (
+            batch_shard_mapped,
+            fused_conv_mfm_pool,
+        )
+
+        mesh = get_mesh()
+        rng = np.random.RandomState(20)
+        x = jnp.asarray(rng.randn(16, 31, 64).astype(np.float32))
+        w = jnp.asarray(rng.randn(25, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+        want = np.asarray(fused_conv_mfm_pool(x, w, b))
+
+        xs = shard_batch(mesh, {"x": np.asarray(x)})["x"]
+        wrapped = batch_shard_mapped(fused_conv_mfm_pool, mesh)
+        got = np.asarray(wrapped(xs, w, b))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        # gradients through the wrapper (replicated-param cotangent psum)
+        gw0, gb0 = jax.grad(
+            lambda w_, b_: jnp.sum(fused_conv_mfm_pool(x, w_, b_) ** 2),
+            argnums=(0, 1),
+        )(w, b)
+        gw1, gb1 = jax.grad(
+            lambda w_, b_: jnp.sum(wrapped(xs, w_, b_) ** 2), argnums=(0, 1)
+        )(w, b)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0), rtol=1e-5)
+
+    def test_pool_kernel_matches_unsharded(self, eight_devices):
+        from audiodeepfake_detection_tpu.ops.fused_conv1 import (
+            batch_shard_mapped,
+        )
+        from audiodeepfake_detection_tpu.ops.fused_pool import (
+            fused_prelu_pool,
+        )
+
+        mesh = get_mesh()
+        rng = np.random.RandomState(21)
+        x = jnp.asarray(rng.randn(16, 12, 33, 8).astype(np.float32))
+        alpha = jnp.asarray([0.25], np.float32)
+        want = np.asarray(fused_prelu_pool(x, alpha))
+        xs = shard_batch(mesh, {"x": np.asarray(x)})["x"]
+        got = np.asarray(batch_shard_mapped(fused_prelu_pool, mesh)(xs, alpha))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gate_rejects_meshes_without_data_axis(self, eight_devices):
+        from audiodeepfake_detection_tpu.ops.fused_conv1 import can_batch_shard
+
+        data_mesh = get_mesh()
+        assert can_batch_shard(data_mesh, 16)
+        assert not can_batch_shard(data_mesh, 15)  # non-divisible batch
+        assert not can_batch_shard(None, 16)
+        model_mesh = get_mesh(axis_names=("model",), shape=(8,))
+        assert not can_batch_shard(model_mesh, 16)  # no 'data' axis
+
+
 class TestTensorParallelAST:
     def test_tp_forward_matches_replicated(self, eight_devices):
         """Megatron-layout AST params over a (data=2, model=4) mesh produce
