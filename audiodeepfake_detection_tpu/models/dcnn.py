@@ -110,6 +110,7 @@ class DCNN(nn.Module):
         if use_fused:
             from ..ops.fused_conv1 import (
                 batch_shard_mapped,
+                can_batch_shard,
                 fused_conv1_prelu_pool,
                 fused_conv1_prelu_pool_stats,
             )
@@ -124,8 +125,6 @@ class DCNN(nn.Module):
                 bias.astype(x.dtype),
                 alpha.reshape(1).astype(x.dtype),
             )
-            from ..ops.fused_conv1 import can_batch_shard
-
             fused_fn, fused_stats_fn = (
                 fused_conv1_prelu_pool,
                 fused_conv1_prelu_pool_stats,

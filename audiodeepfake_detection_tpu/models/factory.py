@@ -31,10 +31,20 @@ _MODULE_REGISTRY = {
 def _tri_flag(value):
     """Tri-state fused-kernel flag: False / True (train-only) / "always".
 
-    Passed through verbatim so config strings keep the force-in-eval mode
-    (``bool("always")`` would silently collapse it to train-only True).
+    Config files are .py/.json dicts, so string spellings are the expected
+    vocabulary: "always" keeps the force-in-eval mode (``bool("always")``
+    would collapse it to train-only True), and the explicit off-spellings
+    ("off"/"false"/"no"/"0"/"train") map to their meanings instead of the
+    truthy-string trap ``bool("off") == True``.
     """
-    return "always" if str(value).lower() == "always" else bool(value)
+    s = str(value).strip().lower()
+    if s == "always":
+        return "always"
+    if s in ("off", "false", "no", "none", "0", ""):
+        return False
+    if s in ("train", "on", "true", "yes", "1"):
+        return True
+    return bool(value)
 
 
 def _dtype_precision(args: DotDict):

@@ -519,7 +519,7 @@ def can_batch_shard(mesh, batch_size: int, axis: str = "data") -> bool:
     divides evenly across it (the gate used by DCNN/LCNN)."""
     if mesh is None:
         return False
-    n = getattr(mesh, "shape", {}).get(axis, 1) if hasattr(mesh, "shape") else 1
+    n = getattr(mesh, "shape", {}).get(axis, 1)
     return n > 1 and batch_size % n == 0
 
 

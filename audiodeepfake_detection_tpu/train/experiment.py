@@ -243,19 +243,19 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     # the fused Pallas kernels run per batch shard via shard_map
     # (ops/fused_conv1.batch_shard_mapped) instead of being replicated by
     # GSPMD's unknown-custom-call handling.
-    if args.only_ig and (args.get("fused_layer1") or args.get("fused_pool")):
+    if args.only_ig and args.get("fused_layer1"):
         # integrated gradients differentiate the LOSS W.R.T. THE INPUT
-        # IMAGE; the fused kernels' compact VJPs return zero input
-        # cotangents by design (the transform in front is stop-gradient
-        # during training), which would make every attribution map
-        # silently zero — force the unfused, fully-differentiable path.
+        # IMAGE; the fused FIRST-LAYER kernels' compact VJPs return zero
+        # input cotangents by design (the transform in front is
+        # stop-gradient during training), which would make every
+        # attribution map silently zero — force the unfused path.
+        # (fused_pool is fine: its mask VJP produces the full dx.)
         print(
-            "only_ig: disabling fused kernels (their compact VJPs carry "
-            "no input gradient; attributions need the unfused path)."
+            "only_ig: disabling fused_layer1 (its compact VJP carries no "
+            "input gradient; attributions need the unfused first layer)."
         )
         args = args.copy()
         args.fused_layer1 = False
-        args.fused_pool = False
     loss_less = args.loss_less == "True"
     if args.transform == "stft" and loss_less:
         raise ValueError(
