@@ -79,13 +79,24 @@ class CustomDataset:
                 only_test_folders,
             )
             os.makedirs(save_path, exist_ok=True)
-            np.save(cache_file, result_set, allow_pickle=True)
+            # atomic publish: concurrent multi-host builds or a crash
+            # mid-save must never leave a truncated cache that every later
+            # run trusts (same pattern as data/frame_cache.py)
+            tmp_file = f"{cache_file}.tmp.{os.getpid()}"
+            np.save(tmp_file, result_set, allow_pickle=True)
+            os.replace(
+                tmp_file if tmp_file.endswith(".npy") else tmp_file + ".npy",
+                cache_file,
+            )
             if abort_on_save:
                 print("Aborting on dataset saving.")
                 raise SystemExit(0)
 
-        # limit per label, then flatten [dirs, n, 4] -> [dirs*n, 4]
-        result_set = result_set[:, :limit]
+        # limit per label, then flatten [dirs, n, 4] -> [dirs*n, 4].
+        # limit=-1 means unlimited (matching _build_index's sentinel) — a
+        # raw [:, :-1] slice would silently drop one frame per directory
+        if limit is not None and limit >= 0:
+            result_set = result_set[:, :limit]
 
         if ds_type == "train" and only_test_folders:
             raise ValueError(
@@ -95,7 +106,10 @@ class CustomDataset:
 
         if result_set.size:
             win_sizes = result_set[:, :, 2].astype(np.int64)
-            min_file_rate = int(win_sizes.min() / seconds)
+            # round, not truncate: win = int(seconds*rate) makes
+            # win/seconds fractionally below the true rate for float
+            # seconds (e.g. 0.1 s @ 16 kHz -> 15999.999 -> int() = 15999)
+            min_file_rate = round(float(win_sizes.min()) / seconds)
             if resample_rate > min_file_rate:
                 raise RuntimeError(
                     "Sample rate is smaller than desired sample rate. "
@@ -228,7 +242,14 @@ def get_custom_dataset(
     file_type: str = "wav",
     get_details: bool = False,
 ) -> CustomDataset:
-    """Directory discovery + labeling (reference data_loader.py:396-507)."""
+    """Directory discovery + labeling (reference data_loader.py:396-507).
+
+    ``get_details`` is accepted for reference-API parity but is a no-op
+    here: the reference switches to ``CustomDatasetDetailed`` to add a
+    per-sample ``"index"`` field (data_loader.py:356-393), which this
+    dataset's ``__getitem__``/loader ALWAYS provides (the misclassified-
+    sample dumps need it and it costs nothing).
+    """
     paths = sorted(Path(data_path).glob("./*_*"))
     if len(paths) == 0:
         raise RuntimeError("Given data_path is empty.")

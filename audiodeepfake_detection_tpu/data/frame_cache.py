@@ -22,15 +22,29 @@ from numpy.lib.format import open_memmap
 _SCALE = 32768.0
 
 
+def _index_fingerprint(dataset) -> str:
+    """Short content hash of the dataset's frame index (paths, frame
+    numbers, window sizes, labels).  Keys the frame cache to the exact
+    index it was decoded from: a rebuilt/changed index with a coincidentally
+    matching (n, target_len) shape must not silently reuse stale PCM."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for row in dataset.audio_data:
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()[:10]
+
+
 def frame_cache_path(dataset) -> str:
-    """Cache file path, derived from the dataset's own identity."""
+    """Cache file path, derived from the dataset's own identity + a content
+    fingerprint of its frame index."""
     names = "-".join(
         sorted({str(v) for v in dataset.label_names.values()})
     )
     return os.path.join(
         dataset.save_path,
         f"frames_{names}_{dataset.seconds}sec_{dataset.ds_type}"
-        f"_{dataset.resample_rate}hz.npy",
+        f"_{dataset.resample_rate}hz_{_index_fingerprint(dataset)}.npy",
     )
 
 
@@ -56,6 +70,27 @@ def build_frame_cache(
         if existing.shape == (n, target_len):
             return path
         del existing
+
+    # multi-host: the corpus decode is expensive and byte-identical on
+    # every host — elect process 0 as the builder, others poll for the
+    # atomic rename (fall through to building if it never appears)
+    try:
+        import jax
+
+        proc, nproc = jax.process_index(), jax.process_count()
+    except Exception:
+        proc, nproc = 0, 1
+    if nproc > 1 and proc != 0:
+        import time
+
+        for _ in range(3600):
+            if os.path.exists(path):
+                return path
+            time.sleep(1.0)
+        print(
+            f"frame cache: builder (process 0) never published {path}; "
+            f"building locally on process {proc}"
+        )
 
     loader = FrameLoader(
         dataset, batch_size, num_threads=num_threads, prefetch=0,

@@ -98,7 +98,10 @@ class FrameLoader:
         total = math.ceil(n / self.process_count) * self.process_count
         if total > n:
             if self.drop_last:
-                pad = idx[: total - n]
+                # tile (not slice): when n < process_count - n the single
+                # slice is too short and processes would see unequal batch
+                # counts, desyncing the collectives this pad exists for
+                pad = np.resize(idx, total - n)
             else:
                 pad = np.full(total - n, -1, dtype=np.int64)
             idx = np.concatenate([idx, pad])
@@ -151,7 +154,8 @@ class FrameLoader:
             raw = wav_read_batch(paths, offsets, wins, max_win, self.num_threads)
         audio = np.zeros((pad_to, self.target_len), dtype=np.float32)
         for i, win in enumerate(wins):
-            src_rate = int(win / self.dataset.seconds)
+            # round, not truncate (win = int(seconds*rate); see dataset.py)
+            src_rate = round(win / self.dataset.seconds)
             clip = raw[i, :win]
             if src_rate > self.dataset.resample_rate:
                 clip = resample(clip, src_rate, self.dataset.resample_rate)
@@ -207,8 +211,10 @@ class FrameLoader:
             try:
                 for batch in self._batches(epoch, shuffle):
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # re-raised in the consumer: a
+                # swallowed decode error would silently truncate the epoch
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -216,5 +222,8 @@ class FrameLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()

@@ -181,6 +181,11 @@ def split_inthewild(
         for row in csv.DictReader(fh):
             label = row.get("label", "").strip().lower()
             fname = row.get("file") or row.get("filename")
+            if fname is None:
+                raise ValueError(
+                    f"{meta_csv}: no 'file'/'filename' column "
+                    f"(columns: {sorted(row)})"
+                )
             src = os.path.join(audio_dir, fname)
             if not os.path.exists(src):
                 continue

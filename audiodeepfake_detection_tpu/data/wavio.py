@@ -259,7 +259,7 @@ def wav_read_batch(
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         c_off = (ctypes.c_int64 * n)(*[int(o) for o in frame_offsets])
         c_num = (ctypes.c_int64 * n)(*[min(int(m), out_len) for m in num_frames])
-        lib.wav_read_batch_f32(
+        failures = lib.wav_read_batch_f32(
             c_paths,
             c_off,
             c_num,
@@ -269,6 +269,13 @@ def wav_read_batch(
             out_len,
             num_threads,
         )
+        if failures:
+            # the C layer zero-fills failed rows; surface the error like
+            # the single-file path does instead of training on silence
+            raise RuntimeError(
+                f"wav_read_batch: {failures}/{n} file reads failed "
+                f"(first paths: {list(paths)[:3]})"
+            )
         return out
     for i, (p, off, m) in enumerate(zip(paths, frame_offsets, num_frames)):
         audio, _ = wav_read(p, int(off), min(int(m), out_len))

@@ -232,3 +232,16 @@ class TestMultiHostLoader:
             for b in batches:
                 assert (b["weight"] == 1).all()
         assert len(set(train_counts)) == 1
+
+        # degenerate: dataset smaller than the process count — the wrap
+        # pad must TILE the indices (a single slice would be too short and
+        # desync per-process batch counts)
+        big_pc = 2 * n + 1  # pad length n+1 > n: the old slice broke here
+        tiny_counts = []
+        for rank in range(big_pc):
+            loader = FrameLoader(
+                ds, batch_size=1, shuffle=False, drop_last=True,
+                process_index=rank, process_count=big_pc, seed=0,
+            )
+            tiny_counts.append(len(list(loader.epoch(0))))
+        assert len(set(tiny_counts)) == 1 and tiny_counts[0] == 1
