@@ -90,13 +90,24 @@ def _cmd_energy(args) -> None:
     from ..data.wavio import audio_read
     from .stats import average_energy, spectral_centroid, yin_pitch
 
-    clips = []
-    for f in sorted(os.listdir(args.data_dir))[: args.max_files]:
-        if f.endswith((".wav", ".flac")):
-            audio, sr = audio_read(os.path.join(args.data_dir, f))
-            clips.append(audio)
+    # filter by extension BEFORE slicing (a dir whose first entries are
+    # metadata/subdirs would otherwise yield fewer clips than asked for)
+    names = [
+        f
+        for f in sorted(os.listdir(args.data_dir))
+        if f.endswith((".wav", ".flac"))
+    ][: args.max_files]
+    if not names:
+        raise SystemExit(f"no wav/flac files under {args.data_dir}")
+    clips, rates = [], []
+    for f in names:
+        audio, sr = audio_read(os.path.join(args.data_dir, f))
+        clips.append(audio)
+        rates.append(sr)
     energy = average_energy(clips)
     np.save(args.out + "_energy.npy", energy)
+    # centroid/pitch are computed on clips[0]: use ITS rate
+    sr = rates[0]
     cent = spectral_centroid(clips[0], sr)
     np.save(args.out + "_centroid.npy", cent)
     pitch = yin_pitch(clips[0], sr)

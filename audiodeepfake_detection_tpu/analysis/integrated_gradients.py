@@ -92,9 +92,11 @@ def run_integrated_gradients(
     args = trainer.args
     plot_path = args.log_dir + "/plots/"
     os.makedirs(plot_path, exist_ok=True)
-
-    welford_ig = Mean()
-    welford_sal = Mean()
+    if trainer.cross_loader_test is None:
+        raise RuntimeError(
+            "integrated gradients need the cross test set — pass "
+            "--cross-data-path (cross_loader_test is None)."
+        )
 
     both = args.target is None
     try:
@@ -111,33 +113,51 @@ def run_integrated_gradients(
         "batch_stats": trainer.state.batch_stats,
     }
 
-    last_image = None
+    # accumulate ON DEVICE: a per-sample np.asarray would pay the ~85 ms
+    # host<->device RTT for each of up to 2*times samples (CLAUDE.md:
+    # never fetch per step); one fetch happens after the loop
+    from ..train.steps import audio_to_float
+
+    ig_sum = sal_sum = last_image = None
+
+    def eligible(c_label: int) -> bool:
+        if not both:
+            return c_label == target_value and index < times
+        if c_label == 0:
+            return index_0 < times
+        return index_1 < times
+
     for batch in trainer.cross_loader_test.epoch(0, shuffle=False):
         labels = (np.asarray(batch["label"]) != 0).astype(np.int64)
         weight = np.asarray(batch.get("weight", np.ones(len(labels))))
-        images = np.asarray(trainer.transform(jnp.asarray(batch["audio"])))
-        for i in range(images.shape[0]):
-            if weight[i] == 0:
-                continue
-            c_label = int(labels[i])
-            if not both and c_label != target_value:
-                continue
-            if both and c_label == 0 and index_0 >= times:
-                continue
-            if both and c_label == 1 and index_1 >= times:
-                continue
+        wanted = [
+            i
+            for i in range(len(labels))
+            if weight[i] != 0 and eligible(int(labels[i]))
+        ]
+        if not wanted:  # skip the device transform for all-skipped batches
+            if both and index_0 >= times and index_1 >= times:
+                break
             if not both and index >= times:
                 break
+            continue
+        # int16 PCM batches (frame-cache emit mode) convert on device,
+        # exactly like every trainer path (train/steps.py audio_to_float)
+        images = trainer.transform(audio_to_float(jnp.asarray(batch["audio"])))
+        for i in wanted:
+            c_label = int(labels[i])
+            if not eligible(c_label):  # quota may fill mid-batch
+                continue
             attributions = integrated_grad(
                 apply_fn,
                 variables,
-                jnp.asarray(images[i]),
+                images[i],
                 jnp.asarray(c_label),
                 m_steps=m_steps,
             )
-            mask = np.sum(np.asarray(attributions), axis=0)[None]
-            welford_ig.update(mask)
-            welford_sal.update(images[i])
+            mask = jnp.sum(attributions, axis=0)[None]
+            ig_sum = mask if ig_sum is None else ig_sum + mask
+            sal_sum = images[i] if sal_sum is None else sal_sum + images[i]
             last_image = images[i]
             if c_label == 0:
                 index_0 += 1
@@ -152,12 +172,17 @@ def run_integrated_gradients(
     print("index 0 ", index_0)
     print("index 1 ", index_1)
     print("index ", index)
-    if welford_ig.mean is None:
+    if ig_sum is None:
         print("no samples matched the attribution targets")
         return
-    mean_ig = welford_ig.finalize()
-    mean_sal = welford_sal.finalize()
+    mean_ig = np.mean(np.asarray(ig_sum), axis=0).squeeze() / index
+    mean_sal = np.mean(np.asarray(sal_sum), axis=0).squeeze() / index
 
+    # multi-host: every process accumulates over ITS loader shard (the
+    # reference does the same per rank, train_classifier.py:678-844) and
+    # only the lead writes — concurrent saves to one path would tear
+    if jax.process_index() != 0:
+        return
     target_str = "01" if both else str(target_value)
     path = (
         plot_path
@@ -168,4 +193,4 @@ def run_integrated_gradients(
     )
     np.save(path + "_integrated_gradients.npy", mean_ig)
     np.save(path + "_mean_images.npy", np.squeeze(mean_sal))
-    np.save(path + "_last_image.npy", np.squeeze(last_image))
+    np.save(path + "_last_image.npy", np.squeeze(np.asarray(last_image)))

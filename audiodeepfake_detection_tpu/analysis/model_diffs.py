@@ -13,7 +13,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..data.wavio import wav_read
+from ..data.wavio import audio_read
 
 
 def load_true_indices(path: str) -> Dict[str, np.ndarray]:
@@ -32,9 +32,13 @@ def export_diff_audio(
     out_dir: str,
     key: str = "unknown",
     count: int = 10,
-    sample_rate: int = 22050,
 ) -> np.ndarray:
-    """Export up to ``count`` differing clips as wav files; returns indices."""
+    """Export up to ``count`` differing clips as wav files; returns indices.
+
+    Clips are stamped with their file's TRUE sample rate (the reference
+    saves torchaudio.load's rate, scripts/analyze_model_diffs.py) and read
+    through the format-dispatching ``audio_read`` so flac corpora work.
+    """
     a = load_true_indices(a_path)
     b = load_true_indices(b_path)
     diff = diff_indices(a, b, key)
@@ -42,12 +46,12 @@ def export_diff_audio(
     os.makedirs(out_dir, exist_ok=True)
     for i, idx in enumerate(diff[:count]):
         path, frame_idx, win, label = dataset[int(idx)]
-        audio, _sr = wav_read(str(path), int(frame_idx) * int(win), int(win))
+        audio, sr = audio_read(str(path), int(frame_idx) * int(win), int(win))
         out = os.path.join(out_dir, f"diff_{i}_label{label}_idx{int(idx)}.wav")
         with wave.open(out, "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
-            w.setframerate(sample_rate)
+            w.setframerate(int(sr))
             pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2")
             w.writeframes(pcm.tobytes())
     return diff

@@ -101,7 +101,9 @@ def plot_scalogram(
         cmap=cmap,
         extent=[0, scal.shape[-1] / sample_rate, freqs[-1] / 1000, freqs[0] / 1000],
     )
-    ax.invert_yaxis()
+    # freqs are descending, so the extent already puts high frequencies at
+    # the top — the reference scalogram has no y-inversion
+    # (plot_util.py:417-426)
     ax.set_xlabel("time [sec]")
     ax.set_ylabel("frequency [kHz]")
     fig.colorbar(im, ax=ax)

@@ -83,16 +83,17 @@ def yin_pitch(
         cmnd = np.ones_like(d)
         cumsum = np.cumsum(d[1:])
         cmnd[1:] = d[1:] * np.arange(1, len(d)) / np.where(cumsum > 0, cumsum, 1.0)
-        # first tau under threshold, else global min
+        # first tau under threshold, else global min — tau_max INCLUSIVE,
+        # so a tone exactly at fmin resolves to its true lag
         tau = 0
-        for t in range(tau_min, tau_max):
+        for t in range(tau_min, tau_max + 1):
             if cmnd[t] < threshold:
-                while t + 1 < tau_max and cmnd[t + 1] < cmnd[t]:
+                while t + 1 <= tau_max and cmnd[t + 1] < cmnd[t]:
                     t += 1
                 tau = t
                 break
         if tau == 0:
-            tau = int(np.argmin(cmnd[tau_min:tau_max])) + tau_min
+            tau = int(np.argmin(cmnd[tau_min : tau_max + 1])) + tau_min
         # parabolic interpolation around tau
         if 1 <= tau < len(cmnd) - 1:
             a, b, c = cmnd[tau - 1], cmnd[tau], cmnd[tau + 1]

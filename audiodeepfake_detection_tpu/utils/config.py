@@ -159,7 +159,14 @@ class Griderator:
 
     @property
     def grid_values(self) -> List[tuple]:
-        return [self._point(i) for i in range(self.get_len())]
+        # materialized once: experiment.py reads this per grid step, and
+        # re-decoding the full product each access made an N-point sweep
+        # cost O(N^2) point decodes
+        cached = getattr(self, "_grid_values_cache", None)
+        if cached is None or len(cached) != self.get_len():
+            cached = [self._point(i) for i in range(self.get_len())]
+            self._grid_values_cache = cached
+        return cached
 
     def get_keys(self):
         return self.init_config.keys()
