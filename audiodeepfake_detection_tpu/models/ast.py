@@ -70,29 +70,41 @@ class _Block(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: Any = None
+    precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.precision is None
+            else self.precision
+        )
+
+        def Dense(feat, name):
+            return nn.Dense(feat, name=name, dtype=self.dtype, precision=prec)
+
         drop_path = _DropPath(self.drop_path_rate, name="drop_path")
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
         b, n, d = h.shape
-        qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(h)
+        qkv = Dense(3 * d, "qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.num_heads, d // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.DEFAULT
-        ) / math.sqrt(d // self.num_heads)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, precision=prec) / math.sqrt(
+            d // self.num_heads
+        )
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop_rate, deterministic=not train)(attn)
-        h = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
-        h = nn.Dense(d, name="proj", dtype=self.dtype)(h)
+        h = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=prec).reshape(
+            b, n, d
+        )
+        h = Dense(d, "proj")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         x = x + drop_path(h, train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
-        h = nn.Dense(int(d * self.mlp_ratio), name="fc1", dtype=self.dtype)(h)
+        h = Dense(int(d * self.mlp_ratio), "fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
-        h = nn.Dense(d, name="fc2", dtype=self.dtype)(h)
+        h = Dense(d, "fc2")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         return x + drop_path(h, train)
 
@@ -110,6 +122,7 @@ class ASTModel(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: Any = None
+    precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -130,6 +143,11 @@ class ASTModel(nn.Module):
             padding="VALID",
             name="patch_proj",
             dtype=self.dtype,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if self.precision is None
+                else self.precision
+            ),
         )(h)
         h = h.reshape(b, num_patches, d)
 
@@ -158,10 +176,14 @@ class ASTModel(nn.Module):
                 drop_path_rate=dp,
                 name=f"block_{i}",
                 dtype=self.dtype,
+                precision=self.precision,
             )(h, train=train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
         h = (h[:, 0] + h[:, 1]) / 2.0
-        h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
+        # reference mlp_head LayerNorm is a plain torch nn.LayerNorm —
+        # default eps 1e-5, unlike the timm backbone's 1e-6 norms
+        # (reference models.py:568-571)
+        h = nn.LayerNorm(epsilon=1e-5, name="head_norm")(h)
         return nn.Dense(self.label_dim, name="head")(h)
 
     def get_name(self) -> str:

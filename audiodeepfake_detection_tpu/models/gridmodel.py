@@ -10,7 +10,8 @@ blocks.
 
 Supported layer vocabulary (the set the reference's configs use):
 ``Conv2d in out k [stride [padding]]``, ``MaxPool2d k s``,
-``SyncBatchNorm n [affine]``, ``BatchNorm2d n``, ``Dropout p``,
+``SyncBatchNorm n [eps [momentum [affine]]]`` (torch positional
+vocabulary), ``BatchNorm2d n``, ``Dropout p``,
 ``Linear in out``, ``ReLU``, ``Softmax dim``, ``Flatten [start]``,
 ``MaxFeatureMap2D``, ``BLSTMLayer in out``, ``Permute a,b,c,d``.
 """
@@ -152,9 +153,16 @@ class _SpecSequential(nn.Module):
                 x = nn.max_pool(x, window_shape=(k, k), strides=(s, s))
                 x = jnp.transpose(x, (0, 3, 1, 2))
             elif kind in ("SyncBatchNorm", "BatchNorm2d"):
-                affine = bool(args[1]) if len(args) > 1 else True
+                # torch positional vocabulary: (num_features, eps, momentum,
+                # affine) — the reference exec's these specs into torch
+                # constructors, so the 2nd slot is EPS, not affine
+                eps = float(args[1]) if len(args) > 1 else 1e-5
+                momentum = float(args[2]) if len(args) > 2 else 0.1
+                affine = bool(args[3]) if len(args) > 3 else True
                 x = jnp.moveaxis(x, 1, -1)
-                x = BatchNorm(affine=affine, name=name)(x, train)
+                x = BatchNorm(
+                    affine=affine, momentum=momentum, eps=eps, name=name
+                )(x, train)
                 x = jnp.moveaxis(x, -1, 1)
             elif kind == "Dropout":
                 x = Dropout(float(args[0]), name=name)(x, train)
@@ -178,7 +186,17 @@ class _SpecSequential(nn.Module):
             elif kind == "BLSTMLayer":
                 x = BLSTMLayer(int(args[0]), int(args[1]), name=name)(x)
             elif kind == "Permute":
-                dims = [int(d) for d in str(spec[1]).split(",")]
+                # the dims token may be "0,2,1,3" or the literal_eval'd
+                # round-trip "(0, 2, 1, 3)" — parse both
+                import ast as _ast
+
+                tok = str(spec[1]).strip()
+                try:
+                    dims = [int(d) for d in _ast.literal_eval(tok)]
+                except (ValueError, SyntaxError):
+                    dims = [
+                        int(d) for d in tok.strip("()[]").split(",") if d
+                    ]
                 x = jnp.transpose(x, dims)
             else:
                 raise RuntimeError(f"Given layer type {kind} not found.")

@@ -147,7 +147,13 @@ def _assign(
     """Zip ordered torch layers onto ordered (flax_name, kind) slots."""
     ti = 0
     for name, kind in flax_names:
-        while ti < len(torch_layers) and torch_layers[ti][0] != kind:
+        if ti >= len(torch_layers):
+            raise ValueError(
+                f"Checkpoint exhausted at flax slot {name!r} ({kind}): "
+                f"{len(torch_layers)} torch layers for "
+                f"{len(flax_names)} slots (wrong model variant?)"
+            )
+        if torch_layers[ti][0] != kind:
             raise ValueError(
                 f"Layer kind mismatch at {name}: expected {kind}, torch has "
                 f"{torch_layers[ti][0]}"

@@ -39,7 +39,12 @@ def main() -> None:
 
     from audiodeepfake_detection_tpu.models.ast import ASTModel
 
-    model = ASTModel(model_size=args.size, dtype=jnp.bfloat16)
+    model = ASTModel(
+        model_size=args.size,
+        dtype=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,  # bf16 speed mode (parity
+        # default is None -> HIGHEST, like DCNN/LCNN)
+    )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, 1, 256, 101).astype(np.float32))
     variables = model.init(jax.random.key(0), x)
