@@ -97,6 +97,8 @@ bool parse_streaminfo(const uint8_t* d, size_t n, StreamInfo* si) {
     bool last = hdr & 0x80;
     p += 4;
     if (type == 0 && len >= 34) {
+      if (p + 34 > n) return false;  // truncated STREAMINFO: the 34-byte
+      // body read below must stay inside the buffer
       const uint8_t* s = d + p;
       si->sample_rate = ((uint32_t)s[10] << 12) | ((uint32_t)s[11] << 4) |
                         (s[12] >> 4);
@@ -169,6 +171,9 @@ bool decode_residual(BitReader* br, int order, int block_size,
   int parts = 1 << part_order;
   int samples_per_part = block_size >> part_order;
   if (samples_per_part == 0) return false;
+  // the partition order must divide the block exactly, or the residual
+  // vector comes out short and the predictor loops read past its end
+  if (samples_per_part * parts != block_size) return false;
   res->clear();
   for (int p = 0; p < parts; ++p) {
     int count = samples_per_part - (p == 0 ? order : 0);
@@ -208,6 +213,9 @@ bool decode_subframe(BitReader* br, int block_size, int bps,
     wasted = 1 + br->read_unary(&ok);
     if (!ok) return false;
     bps -= wasted;
+    // a corrupt wasted-bits count would drive bps <= 0 (negative shifts
+    // in read_signed are UB) or the final s <<= wasted past 63 bits
+    if (bps <= 0 || wasted >= 63) return false;
   }
   out->assign(block_size, 0);
   if (type == 0) {  // constant
@@ -365,8 +373,16 @@ int decode_frame(BitReader* br, const StreamInfo& si,
 bool load_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return false;
+  }
   long n = ftell(f);
+  if (n < 0) {  // non-seekable/special file: (size_t)-1 resize would throw
+    // std::bad_alloc through the extern "C" boundary and kill the caller
+    fclose(f);
+    return false;
+  }
   fseek(f, 0, SEEK_SET);
   buf->resize((size_t)n);
   bool ok = fread(buf->data(), 1, (size_t)n, f) == (size_t)n;
@@ -406,8 +422,13 @@ int flac_read_f32(const char* path, int64_t frame_offset, int64_t num_frames,
   BitReader br{buf.data(), buf.size()};
   br.byte = si.audio_offset;
   std::vector<float> samples;
-  int64_t want_end = num_frames < 0 ? (int64_t)si.total_samples
-                                    : frame_offset + num_frames;
+  // STREAMINFO total_samples == 0 legally means "unknown" (streaming
+  // encoders): decode until the frames run out instead of stopping at 0
+  const bool unknown_total = si.total_samples == 0;
+  int64_t want_end = num_frames < 0
+                         ? (unknown_total ? INT64_MAX
+                                          : (int64_t)si.total_samples)
+                         : frame_offset + num_frames;
   while ((int64_t)samples.size() < want_end) {
     if (decode_frame(&br, si, &samples) < 0) break;
   }

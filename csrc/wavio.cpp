@@ -44,6 +44,9 @@ bool parse_header(FILE* f, WavFmt* fmt) {
     if (memcmp(id, "fmt ", 4) == 0) {
       uint8_t buf[40];
       uint32_t n = sz < sizeof(buf) ? sz : (uint32_t)sizeof(buf);
+      if (n < 16) return false;  // a fmt chunk shorter than the base
+      // PCM layout would leave format/channels/rate/bits reading
+      // uninitialized stack bytes
       if (fread(buf, 1, n, f) != n) return false;
       if (sz > n && fseek(f, sz - n, SEEK_CUR) != 0) return false;
       memcpy(&fmt->format, buf + 0, 2);
@@ -69,8 +72,17 @@ bool parse_header(FILE* f, WavFmt* fmt) {
   return have_fmt && fmt->data_offset > 0;
 }
 
+// Formats/widths the decoder handles; everything else must be REJECTED at
+// the header stage (a-law/mu-law/ADPCM decoded through the PCM switch
+// would train on silent garbage, and sub-byte widths zero frame_bytes).
+inline bool supported_format(uint16_t format, uint16_t bits) {
+  if (format == 3) return bits == 32 || bits == 64;
+  if (format == 1) return bits == 8 || bits == 16 || bits == 24 || bits == 32;
+  return false;
+}
+
 inline float decode_sample(const uint8_t* p, uint16_t format, uint16_t bits) {
-  if (format == 3) {  // IEEE float
+  if (format == 3) {  // IEEE float (32/64-bit only; enforced at header)
     if (bits == 32) {
       float v;
       memcpy(&v, p, 4);
@@ -108,7 +120,8 @@ int read_frames(const char* path, int64_t frame_offset, int64_t num_frames,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavFmt fmt;
-  if (!parse_header(f, &fmt) || fmt.channels == 0 || fmt.bits == 0) {
+  if (!parse_header(f, &fmt) || fmt.channels == 0 ||
+      !supported_format(fmt.format, fmt.bits)) {
     fclose(f);
     return -2;
   }
@@ -147,7 +160,8 @@ int wav_info(const char* path, int* sample_rate, int64_t* num_frames,
   WavFmt fmt;
   bool ok = parse_header(f, &fmt);
   fclose(f);
-  if (!ok || fmt.channels == 0 || fmt.bits == 0) return -2;
+  if (!ok || fmt.channels == 0 || !supported_format(fmt.format, fmt.bits))
+    return -2;
   if (sample_rate) *sample_rate = (int)fmt.sample_rate;
   if (channels) *channels = fmt.channels;
   if (bits) *bits = fmt.bits;
@@ -184,14 +198,23 @@ int wav_read_batch_f32(const char** paths, const int64_t* frame_offsets,
     threads.emplace_back([&, t]() {
       for (int i = t; i < n; i += num_threads) {
         float* dst = out + (int64_t)i * stride;
-        int64_t fr = 0;
-        int rc = read_frames(paths[i], frame_offsets[i], num_frames[i], dst,
-                             &fr, nullptr);
-        if (rc != 0) {
-          memset(dst, 0, (size_t)num_frames[i] * sizeof(float));
+        // clamp to the row stride (a caller-supplied count must never
+        // write past the batch row) and reject negatives before the
+        // size_t casts below
+        int64_t want = num_frames[i];
+        if (want < 0 || want > stride) want = want < 0 ? 0 : stride;
+        if (want == 0) {
           failures[t]++;
-        } else if (num_frames[i] > fr) {
-          memset(dst + fr, 0, (size_t)(num_frames[i] - fr) * sizeof(float));
+          continue;
+        }
+        int64_t fr = 0;
+        int rc = read_frames(paths[i], frame_offsets[i], want, dst, &fr,
+                             nullptr);
+        if (rc != 0) {
+          memset(dst, 0, (size_t)want * sizeof(float));
+          failures[t]++;
+        } else if (want > fr) {
+          memset(dst + fr, 0, (size_t)(want - fr) * sizeof(float));
         }
       }
     });
