@@ -207,6 +207,56 @@ class TestConvergence:
             trainer.loss_list[-1], (tuple, list)) else trainer.loss_list[-1])
 
 
+class TestIntegratedGradientsDriver:
+    def test_only_ig_mode(self, corpus, args):
+        """--only-ig end-to-end: train one epoch, reload the snapshot, and
+        accumulate attribution means over the cross test set (device-side
+        accumulation, int16-safe transform input, lead-only save)."""
+        import os
+
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        args2 = args.copy()
+        args2.update(
+            epochs=1,
+            validation_interval=100,
+            ckpt_every=1,
+            log_dir=args.log_dir + "/ig",
+            cross_data_path=str(corpus),
+            cross_sources=["real", "fbmelgan"],
+            ig_times_per_target=2,
+        )
+        os.makedirs(args2.log_dir + "/models", exist_ok=True)
+        run_experiment(args2)  # produces the snapshot
+
+        args3 = args2.copy()
+        args3.only_ig = True
+        run_experiment(args3)
+        plots = os.listdir(args2.log_dir + "/plots")
+        assert any(f.endswith("_integrated_gradients.npy") for f in plots)
+        assert any(f.endswith("_mean_images.npy") for f in plots)
+        ig_file = [f for f in plots if f.endswith("_integrated_gradients.npy")][0]
+        ig = np.load(os.path.join(args2.log_dir, "plots", ig_file))
+        assert np.isfinite(ig).all() and np.abs(ig).max() > 0
+
+    def test_only_ig_without_cross_data_raises(self, corpus, args):
+        import os
+
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        args2 = args.copy()
+        args2.update(
+            epochs=1, validation_interval=100, ckpt_every=1,
+            log_dir=args.log_dir + "/ig_err", cross_data_path=None,
+        )
+        os.makedirs(args2.log_dir + "/models", exist_ok=True)
+        run_experiment(args2)
+        args3 = args2.copy()
+        args3.only_ig = True
+        with pytest.raises(RuntimeError, match="cross"):
+            run_experiment(args3)
+
+
 class TestPredict:
     def test_score_files(self, corpus):
         import jax
