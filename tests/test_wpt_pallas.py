@@ -14,7 +14,13 @@ from audiodeepfake_detection_tpu.ops.wpt_pallas import (
 class TestPallasWPT:
     @pytest.mark.parametrize(
         "wavelet,level,t",
-        [("haar", 3, 1024), ("sym5", 4, 1024), ("db4", 5, 2048), ("haar", 8, 4096)],
+        [
+            ("haar", 3, 1024),
+            ("sym5", 4, 1024),
+            ("db4", 5, 2048),
+            ("haar", 8, 4096),
+            ("coif4", 4, 2048),  # the third bundled-checkpoint wavelet (L=24)
+        ],
     )
     def test_matches_xla_cascade(self, wavelet, level, t):
         x = np.random.RandomState(0).randn(4, t).astype(np.float32)
