@@ -52,7 +52,12 @@ def test_forward_and_grads_match_autodiff(cin, k, padding):
 
 def test_dcnn_train_step_grads_unchanged():
     """The DCNN with the custom-VJP conv1 produces the same parameter
-    gradients as a version using the plain flax conv (fp32, HIGHEST)."""
+    gradients as a version using the plain autodiff conv (fp32, HIGHEST) —
+    the plain version is obtained by patching first_conv to its forward
+    impl so JAX derives the backward itself."""
+    from unittest import mock
+
+    import audiodeepfake_detection_tpu.ops.first_conv as fc
     from audiodeepfake_detection_tpu.models import DCNN
 
     rng = np.random.RandomState(1)
@@ -70,11 +75,21 @@ def test_dcnn_train_step_grads_unchanged():
         )
         return jnp.sum(out**2)
 
-    grads = jax.grad(loss)(variables["params"])
-    g = grads["cnn_0"]["Conv_0"]
-    assert np.isfinite(np.asarray(g["kernel"])).all()
+    grads_custom = jax.grad(loss)(variables["params"])
+    with mock.patch.object(fc, "first_conv", fc._conv_fwd_value):
+        grads_plain = jax.grad(loss)(variables["params"])
+
+    import jax as _jax
+
+    _jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4
+        ),
+        grads_custom,
+        grads_plain,
+    )
+    g = grads_custom["cnn_0"]["Conv_0"]
     assert np.abs(np.asarray(g["kernel"])).max() > 0
-    assert np.isfinite(np.asarray(g["bias"])).all()
 
 
 class TestMaxPoolVJP:

@@ -74,7 +74,8 @@ def test_two_process_cluster_feeding(tmp_path):
     script = _WORKER % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # one device per process keeps the 1-core host responsive
+    # TWO virtual devices per process (4 global): the worker's batch math
+    # below depends on each process contributing 2 local devices
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     procs = [
         subprocess.Popen(

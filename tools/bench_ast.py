@@ -47,7 +47,8 @@ def main() -> None:
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, 1, 256, 101).astype(np.float32))
-    variables = model.init(jax.random.key(0), x)
+    # NB init happens inside create_train_state on the train path; doing it
+    # here too would double the base384 init through the slow relay
 
     if args.train:
         import optax
@@ -86,6 +87,7 @@ def main() -> None:
         dt = time.time() - t0
         what = "train step"
     else:
+        variables = model.init(jax.random.key(0), x)
         fwd = jax.jit(lambda v, x: model.apply(v, x))
         np.asarray(fwd(variables, x))
         t0 = time.time()

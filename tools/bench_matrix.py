@@ -19,6 +19,49 @@ B = 128
 T = 22050
 
 
+def headline_setup(fused: bool = True, batch: int = B):
+    """Shared harness for the headline configuration (packets-sym5 + DCNN,
+    bf16 speed mode): returns (model, transform, host_batch, state, step).
+    Used by bench_matrix/profile_step/dump_hlo so the config lives once."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.models import DCNN
+    from audiodeepfake_detection_tpu.ops.wpt import packet_image
+    from audiodeepfake_detection_tpu.train.steps import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = DCNN(
+        time_dim=12,
+        precision=jax.lax.Precision.DEFAULT,
+        dtype=jnp.bfloat16,
+        fused_layer1=fused,
+    )
+
+    def transform(audio):
+        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
+
+    tx = make_optimizer(4e-4, 1e-3)
+    rng = np.random.RandomState(0)
+    host_batch = {
+        "audio": rng.randn(batch, 1, T).astype(np.float32),
+        "label": rng.randint(0, 2, batch).astype(np.int32),
+    }
+    img = transform(jnp.asarray(host_batch["audio"][:16]))
+    state = create_train_state(model, tx, img, seed=0)
+    step = make_train_step(model, transform, tx)
+    return model, transform, host_batch, state, step
+
+
 def bench_step(model, transform, tag, steps=50):
     import jax
 

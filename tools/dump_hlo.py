@@ -11,42 +11,14 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
-import numpy as np
+def main(fused: bool = False) -> None:
+    from bench_matrix import headline_setup
 
-
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
-    from audiodeepfake_detection_tpu.models import DCNN
-    from audiodeepfake_detection_tpu.ops.wpt import packet_image
-    from audiodeepfake_detection_tpu.train.steps import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-
-    model = DCNN(
-        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
-    )
-
-    def transform(audio):
-        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
-
-    tx = make_optimizer(4e-4, 1e-3)
-    rng = np.random.RandomState(0)
-    batch = {
-        "audio": rng.randn(128, 1, 22050).astype(np.float32),
-        "label": rng.randint(0, 2, 128).astype(np.int32),
-    }
-    img = transform(jnp.asarray(batch["audio"][:16]))
-    state = create_train_state(model, tx, img, seed=0)
-    step = make_train_step(model, transform, tx)
+    _model, _transform, batch, state, step = headline_setup(fused=fused)
     lowered = step.lower(state, batch)
     compiled = lowered.compile()
     text = compiled.as_text()
@@ -55,9 +27,21 @@ def main() -> None:
         fh.write(text)
     print(f"wrote {out} ({len(text)} bytes)")
 
-    # summarize: find named computations of interest with their root shapes
-    pat = re.compile(r"^\s*(?:ROOT )?%?([\w.-]+(?:\.\d+)?) = (\S+) (\w[\w-]*)\(", re.M)
+    # summarize: find named computations of interest with their root shapes.
+    # The shape group must admit tuple-shaped multi-output ops like
+    # "(f32[128]{0}, bf16[128,256,95]{2,1,0})" — the biggest HBM consumers
+    # (BN-stat fusions, fused kernels) are multi-output.
+    pat = re.compile(
+        r"^\s*(?:ROOT )?%?([\w.-]+(?:\.\d+)?) = (\([^)]*\)|\S+) (\w[\w-]*)\(",
+        re.M,
+    )
     wanted = re.compile(r"select-and-scatter|reverse|^fusion")
+    _BYTES = {
+        "pred": 1, "s8": 1, "u8": 1,
+        "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+        "f64": 8, "s64": 8, "u64": 8, "c64": 8,
+        "c128": 16,
+    }
     sizes = []
     for m in pat.finditer(text):
         name, shape, op = m.group(1), m.group(2), m.group(3)
@@ -70,8 +54,7 @@ def main() -> None:
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            bytes_per = 2 if "bf16" in dt or "f16" in dt else 4
-            total += n * bytes_per
+            total += n * _BYTES.get(dt, 4)
         sizes.append((total, name, shape[:90]))
     sizes.sort(reverse=True)
     for total, name, shape in sizes[:30]:
@@ -79,4 +62,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", action="store_true")
+    main(fused=ap.parse_args().fused)

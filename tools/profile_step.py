@@ -15,40 +15,17 @@ import os
 import sys
 from collections import defaultdict
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 
 def run_and_trace(out_dir: str, steps: int, fused: bool = False) -> None:
     import jax
-    import jax.numpy as jnp
 
-    from audiodeepfake_detection_tpu.models import DCNN
-    from audiodeepfake_detection_tpu.ops.wpt import packet_image
-    from audiodeepfake_detection_tpu.train.steps import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
+    from bench_matrix import headline_setup
 
-    model = DCNN(
-        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16,
-        fused_layer1=fused,
-    )
-
-    def transform(audio):
-        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
-
-    tx = make_optimizer(4e-4, 1e-3)
-    rng = np.random.RandomState(0)
-    batch = {
-        "audio": rng.randn(128, 1, 22050).astype(np.float32),
-        "label": rng.randint(0, 2, 128).astype(np.int32),
-    }
-    img = transform(jnp.asarray(batch["audio"][:16]))
-    state = create_train_state(model, tx, img, seed=0)
-    step = make_train_step(model, transform, tx)
+    _model, _transform, batch, state, step = headline_setup(fused=fused)
     dbatch = jax.device_put(batch)
     state, stats = step(state, dbatch)
     float(stats["loss"])
@@ -68,15 +45,30 @@ def summarize(out_dir: str, top: int = 25) -> None:
         return
     with gzip.open(traces[-1], "rt") as fh:
         data = json.load(fh)
+    events = data.get("traceEvents", [])
+    # map pid -> process name from the metadata events so host python/runtime
+    # lanes ("np.asarray", "jit_*", "PjitFunction") don't pollute the device
+    # op breakdown; fall back to the name heuristic when no device pid exists
+    pid_names = {
+        ev.get("pid"): str(ev.get("args", {}).get("name", ""))
+        for ev in events
+        if ev.get("ph") == "M" and ev.get("name") == "process_name"
+    }
+    device_pids = {
+        pid
+        for pid, pname in pid_names.items()
+        if "TPU" in pname or "device" in pname.lower() or "/gpu" in pname.lower()
+    }
     durations = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
-    for ev in data.get("traceEvents", []):
+    for ev in events:
         if ev.get("ph") != "X":
+            continue
+        if device_pids and ev.get("pid") not in device_pids:
             continue
         name = ev.get("name", "?")
         dur = float(ev.get("dur", 0.0))
-        # keep only device-lane events (XLA ops); heuristic: skip python/host
         cat = str(ev.get("cat", ""))
         if "TSL" in cat or name.startswith(("$", "process_")):
             continue
