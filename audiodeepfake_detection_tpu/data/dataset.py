@@ -84,10 +84,7 @@ class CustomDataset:
             # run trusts (same pattern as data/frame_cache.py)
             tmp_file = f"{cache_file}.tmp.{os.getpid()}"
             np.save(tmp_file, result_set, allow_pickle=True)
-            os.replace(
-                tmp_file if tmp_file.endswith(".npy") else tmp_file + ".npy",
-                cache_file,
-            )
+            os.replace(tmp_file + ".npy", cache_file)  # np.save appends .npy
             if abort_on_save:
                 print("Aborting on dataset saving.")
                 raise SystemExit(0)

@@ -26,13 +26,20 @@ def _index_fingerprint(dataset) -> str:
     """Short content hash of the dataset's frame index (paths, frame
     numbers, window sizes, labels).  Keys the frame cache to the exact
     index it was decoded from: a rebuilt/changed index with a coincidentally
-    matching (n, target_len) shape must not silently reuse stale PCM."""
+    matching (n, target_len) shape must not silently reuse stale PCM.
+    Memoized on the dataset (the Python hash loop is O(frames) and the path
+    is derived several times per loader setup)."""
+    cached = getattr(dataset, "_frame_fingerprint", None)
+    if cached is not None:
+        return cached
     import hashlib
 
     h = hashlib.sha1()
     for row in dataset.audio_data:
         h.update(repr(tuple(row)).encode())
-    return h.hexdigest()[:10]
+    fp = h.hexdigest()[:10]
+    dataset._frame_fingerprint = fp
+    return fp
 
 
 def frame_cache_path(dataset) -> str:

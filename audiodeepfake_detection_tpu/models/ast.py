@@ -126,6 +126,11 @@ class ASTModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.precision is None
+            else self.precision
+        )
         cfg = _SIZES[self.model_size]
         d = cfg["embed_dim"]
         f_dim, t_dim = ast_patch_grid(
@@ -143,11 +148,7 @@ class ASTModel(nn.Module):
             padding="VALID",
             name="patch_proj",
             dtype=self.dtype,
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if self.precision is None
-                else self.precision
-            ),
+            precision=prec,
         )(h)
         h = h.reshape(b, num_patches, d)
 

@@ -239,10 +239,6 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         raise NotImplementedError(
             f"LFCC features are currently not implemented for {args.model}."
         )
-    # NB: with a multi-device mesh the factory threads it into the model so
-    # the fused Pallas kernels run per batch shard via shard_map
-    # (ops/fused_conv1.batch_shard_mapped) instead of being replicated by
-    # GSPMD's unknown-custom-call handling.
     if args.only_ig and args.get("fused_layer1"):
         # integrated gradients differentiate the LOSS W.R.T. THE INPUT
         # IMAGE; the fused FIRST-LAYER kernels' compact VJPs return zero
@@ -286,6 +282,9 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     args.input_dim = get_input_dims(args, transform)
     full_transform = normalized_transform(transform, mean, std)
 
+    # the mesh threads into the model so the fused Pallas kernels run per
+    # batch shard via shard_map (ops/fused_conv1.batch_shard_mapped)
+    # instead of being replicated by GSPMD's unknown-custom-call handling
     model = get_model(
         args,
         args.model,
