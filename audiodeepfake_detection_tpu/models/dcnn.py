@@ -101,11 +101,16 @@ class DCNN(nn.Module):
             x = x.astype(self.dtype)
 
         bn3_stats = None
+        if self.fused_layer1:
+            from ..ops.fused_conv1 import fused_geometry_fits
         use_fused = (
             bool(self.fused_layer1)
             and x.shape[-1] == 1
             and self.kernel1 == 3
             and (train or self.fused_layer1 == "always")
+            # degenerate geometries (huge images) exceed the kernel's VMEM
+            # scratch: fall back to the unfused XLA path
+            and fused_geometry_fits(x.shape[1], x.shape[2], 3)
         )
         if use_fused:
             from ..ops.fused_conv1 import (

@@ -74,10 +74,15 @@ class LCNN(nn.Module):
         from .layers import ConvScope
 
         kernel, bias = ConvScope((5, 5, x.shape[-1], 64), name="lcnn_0")()
+        if self.fused_layer1:
+            from ..ops.fused_conv1 import fused_geometry_fits
         use_fused = (
             bool(self.fused_layer1)
             and x.shape[-1] == 1
             and (train or self.fused_layer1 == "always")
+            # degenerate geometries (huge images, e.g. hop_length=1
+            # spectrograms) exceed the kernel's VMEM scratch
+            and fused_geometry_fits(x.shape[1], x.shape[2], 5)
         )
         if use_fused:
             # one Pallas pass: the 420+ MB pre-pool activation never leaves

@@ -513,6 +513,26 @@ fused_conv1_prelu_pool.defvjp(_fused_fwd, _fused_bwd)
 fused_conv1_prelu_pool_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)
 
 
+def fused_geometry_fits(
+    h: int, w: int, k: int = K, budget_bytes: int = 10 * 2**20
+) -> bool:
+    """True when the fused first-layer kernel's VMEM footprint fits.
+
+    The tap-plane scratch is ``[4*k*k, h2, w2]`` f32 plus the per-image
+    phase block — both scale with the image area.  For degenerate
+    geometries (e.g. ``hop_length=1`` spectrograms with tens of thousands
+    of frames) the scratch exceeds VMEM and Mosaic fails at compile with
+    an opaque allocation error; callers gate on this and fall back to the
+    unfused XLA path instead.
+    """
+    h2, w2 = _pad_geometry(h, w, k)
+    if h2 < 1 or w2 < 1:
+        return False
+    scratch = NPH * k * k * h2 * w2 * 4
+    phases = NPH * (h2 + 2) * (w2 + 2) * 4
+    return scratch + phases <= budget_bytes
+
+
 def can_batch_shard(mesh, batch_size: int, axis: str = "data") -> bool:
     """True when a fused kernel should be shard_map'd over ``mesh``: the
     mesh exists, has the named batch axis with >1 devices, and the batch

@@ -371,6 +371,25 @@ class TestFusedDCNN:
         )
         np.testing.assert_array_equal(gated, base)
 
+    def test_oversized_geometry_falls_back_to_unfused(self):
+        # a hop_length=1-style spectrogram (tens of thousands of frames)
+        # exceeds the kernel's VMEM tap-plane scratch: the geometry gate
+        # must reject it so the models use the unfused path instead of
+        # failing at Mosaic compile with an opaque allocation error
+        from audiodeepfake_detection_tpu.ops.fused_conv1 import (
+            fused_geometry_fits,
+        )
+
+        # the production geometries all fit
+        assert fused_geometry_fits(95, 256, 3)  # packets-sym5 DCNN
+        assert fused_geometry_fits(109, 256, 3)  # packets-coif4 DCNN
+        assert fused_geometry_fits(101, 256, 3)  # stft DCNN
+        assert fused_geometry_fits(101, 256, 5)  # stft LCNN
+        # hop_length=1 spectrograms do not (the observed v5e failure:
+        # f32[100, 11032, 128] scratch vs 128 MB VMEM ceiling)
+        assert not fused_geometry_fits(11026, 256, 5)
+        assert not fused_geometry_fits(11026, 256, 3)
+
     def test_two_channel_input_falls_back_to_unfused(self):
         # loss_less sign-channel configs feed 2 input channels; the fused
         # kernel requires 1 and the model must silently use the XLA path
