@@ -88,7 +88,7 @@ def _cmd_scalogram(args) -> None:
 
 def _cmd_energy(args) -> None:
     from ..data.wavio import audio_read
-    from .stats import average_energy, spectral_centroid, yin_pitch
+    from .stats import average_energy, corpus_stats
 
     # filter by extension BEFORE slicing (a dir whose first entries are
     # metadata/subdirs would otherwise yield fewer clips than asked for)
@@ -106,15 +106,20 @@ def _cmd_energy(args) -> None:
         rates.append(sr)
     energy = average_energy(clips)
     np.save(args.out + "_energy.npy", energy)
-    # centroid/pitch are computed on clips[0]: use ITS rate
-    sr = rates[0]
-    cent = spectral_centroid(clips[0], sr)
-    np.save(args.out + "_centroid.npy", cent)
-    pitch = yin_pitch(clips[0], sr)
-    np.save(args.out + "_pitch.npy", pitch)
+    # per-clip centroid/pitch statistics over the WHOLE corpus, like the
+    # reference's avg_energy_stft aggregation (it collects mean centroid
+    # and mean/std pitch per clip, then summarizes)
+    stats = corpus_stats(clips, rates)
+    np.save(args.out + "_centroid.npy", stats["centroids"])
+    np.save(
+        args.out + "_pitch.npy",
+        np.stack([stats["pitch_means"], stats["pitch_stds"]], axis=1),
+    )
     print(
-        f"energy[{energy.shape}], centroid mean {cent.mean():.1f} Hz, "
-        f"pitch median {np.median(pitch):.1f} Hz -> {args.out}_*.npy"
+        f"energy[{energy.shape}] over {len(clips)} clips, "
+        f"centroid mean {stats['centroid_mean']:.1f} Hz, "
+        f"pitch mean {stats['pitch_mean']:.1f} "
+        f"+- {stats['pitch_std_mean']:.1f} Hz -> {args.out}_*.npy"
     )
 
 

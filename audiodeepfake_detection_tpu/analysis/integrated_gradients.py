@@ -24,7 +24,16 @@ import numpy as np
 
 
 class Mean:
-    """Running mean accumulator (reference integrated_gradients.py:13-47)."""
+    """Running mean accumulator (reference integrated_gradients.py:13-47).
+
+    API-parity port, NOT used by the production IG path (which accumulates
+    sums directly on device, see ``attribute_dataset`` below).  Contract
+    inherited from the reference: ``finalize`` averages over axis 0 *and*
+    divides by the update count, so it returns the per-sample mean only when
+    every ``update`` receives a ``[1, ...]`` singleton-batch tensor — exactly
+    how the reference trainer feeds it (train_classifier.py:694-844).  Feeding
+    multi-row batches averages over the rows a second time; don't.
+    """
 
     def __init__(self) -> None:
         self.count = 0

@@ -42,7 +42,14 @@ def export_diff_audio(
     a = load_true_indices(a_path)
     b = load_true_indices(b_path)
     diff = diff_indices(a, b, key)
-    dataset = a["dataset"]  # (N, 4): path, frame_idx, win_size, label
+    # (N, 4) rows: path, frame_idx, win_size, label.  "known" indices index
+    # the known test set, stored under "dataset_known" by our driver (the
+    # reference misfiles them against the cross table — see
+    # train/experiment.py); fall back to "dataset" for reference-made dumps.
+    if key == "known" and "dataset_known" in a:
+        dataset = a["dataset_known"]
+    else:
+        dataset = a["dataset"]
     os.makedirs(out_dir, exist_ok=True)
     for i, idx in enumerate(diff[:count]):
         path, frame_idx, win, label = dataset[int(idx)]

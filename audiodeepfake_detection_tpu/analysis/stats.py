@@ -33,6 +33,44 @@ def average_energy(
     return acc / max(frames, 1)
 
 
+def corpus_stats(
+    clips: Sequence[np.ndarray],
+    rates: Sequence[int],
+    n_fft: int = 2048,
+    hop: int = 512,
+) -> dict:
+    """Per-clip centroid/pitch statistics aggregated over a corpus.
+
+    Mirrors the reference's avg_energy_stft aggregation
+    (scripts/freq_visual/avg_energy_stft.py:66-84): for every clip, the
+    MEAN of its per-frame spectral centroid and the MEAN and STD of its
+    pitch track are collected; corpus-level summaries are the means of
+    those per-clip values.
+
+    Returns a dict with ``centroids`` [N], ``pitch_means`` [N],
+    ``pitch_stds`` [N] and scalar ``centroid_mean`` / ``pitch_mean`` /
+    ``pitch_std_mean`` summaries.
+    """
+    cents, p_means, p_stds = [], [], []
+    for clip, sr in zip(clips, rates):
+        cent = spectral_centroid(clip, sr, n_fft=n_fft, hop=hop)
+        cents.append(float(cent.mean()) if cent.size else 0.0)
+        pitch = yin_pitch(clip, sr, frame_length=n_fft, hop=hop)
+        p_means.append(float(pitch.mean()) if pitch.size else 0.0)
+        p_stds.append(float(pitch.std()) if pitch.size else 0.0)
+    centroids = np.asarray(cents)
+    pitch_means = np.asarray(p_means)
+    pitch_stds = np.asarray(p_stds)
+    return {
+        "centroids": centroids,
+        "pitch_means": pitch_means,
+        "pitch_stds": pitch_stds,
+        "centroid_mean": float(centroids.mean()) if centroids.size else 0.0,
+        "pitch_mean": float(pitch_means.mean()) if pitch_means.size else 0.0,
+        "pitch_std_mean": float(pitch_stds.mean()) if pitch_stds.size else 0.0,
+    }
+
+
 def spectral_centroid(
     clip: np.ndarray, sample_rate: int, n_fft: int = 2048, hop: int = 512
 ) -> np.ndarray:

@@ -192,7 +192,14 @@ class DCNN(nn.Module):
 
         def prelu_pool(x, alpha_name, want_stats):
             """PReLU + maxpool 2x2, fused (mask-saved VJP) when enabled."""
-            if not use_fused_pool:
+            from ..ops.fused_pool import fused_pool_geometry_fits
+
+            # same fallback contract as fused_layer1: degenerate activation
+            # geometries (VMEM-oversized blocks) take the XLA path instead
+            # of failing at Mosaic compile
+            if not use_fused_pool or not fused_pool_geometry_fits(
+                x.shape[1], x.shape[2], x.shape[3]
+            ):
                 x = PReLU(name=alpha_name)(x)
                 return max_pool_2x2(x), None
             from ..ops.fused_conv1 import batch_shard_mapped, can_batch_shard
@@ -245,6 +252,16 @@ class DCNN(nn.Module):
         # NHWC [B, H', W', T/8] -> [B, T/8, H'*W'] in torch (H, W) order.
         b = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, x.shape[-1], -1)
+        # flax Dense would silently infer the input width, but the
+        # reference's Linear(flattend_size, 2) fails on a geometry mismatch
+        # (models.py:311) — keep that contract so config errors surface at
+        # trace time (and so check_dimensions can reject invalid modules).
+        if x.shape[-1] != self.flattend_size:
+            raise ValueError(
+                f"flattend_size={self.flattend_size} does not match the "
+                f"flattened feature width {x.shape[-1]} for this input "
+                "geometry"
+            )
         x = nn.Dense(self.nclasses, name="fc_1", dtype=self.dtype)(x)
         return jnp.mean(x, axis=1).astype(jnp.float32)
 

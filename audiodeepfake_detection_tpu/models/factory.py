@@ -88,6 +88,44 @@ def _build_dcnn(
     )
 
 
+def _build_ast(args: DotDict, nclasses: int):
+    """AST through the driver (reference reaches it as a "modules" class
+    injected via the exec'd grid config, gridsearch_config.py:127 +
+    models.py:760-762).
+
+    Geometry parity with the reference constructor (models.py:497-536):
+    ``input_tdim`` comes from ``args.flattend_size`` (the reference
+    repurposes that key for AST), ``input_fdim`` defaults to 256.  When the
+    driver has probed ``args.input_dim`` we take the actual (F, T) from it
+    instead — identical for the reference's 256-scale configs, and correct
+    for every other geometry (the reference would crash on those).
+    ``ast_model_size`` / ``ast_drop_*`` keys expose the constructor knobs
+    the reference hardcodes.
+    """
+    from .ast import ASTModel
+
+    dtype, precision = _dtype_precision(args)
+    input_dim = args.input_dim
+    input_fdim = int(input_dim[-2]) if input_dim else 256
+    if args.flattend_size:
+        input_tdim = int(args.flattend_size)
+    elif input_dim:
+        input_tdim = int(input_dim[-1])
+    else:
+        input_tdim = 101
+    return ASTModel(
+        label_dim=nclasses,
+        input_fdim=input_fdim,
+        input_tdim=input_tdim,
+        model_size=str(args.ast_model_size or "base384"),
+        drop_rate=float(args.ast_drop_rate or 0.0),
+        attn_drop_rate=float(args.ast_attn_drop_rate or 0.0),
+        drop_path_rate=float(args.ast_drop_path_rate or 0.0),
+        dtype=dtype,
+        precision=precision,
+    )
+
+
 def get_model(
     args: DotDict,
     model_name: str,
@@ -131,12 +169,23 @@ def get_model(
         else:
             name = str(module)
         if name in _MODULE_REGISTRY:
-            return _build_dcnn(args, name, nclasses, in_channels, mesh=mesh)
-        if name == "Regression":
-            return Regression(nclasses=nclasses)
-        if callable(module):
-            return module(args)
-        raise RuntimeError(f"Unknown module {name!r}.")
+            model = _build_dcnn(args, name, nclasses, in_channels, mesh=mesh)
+        elif name in ("AST", "ASTModel"):
+            model = _build_ast(args, nclasses)
+        elif name == "Regression":
+            model = Regression(nclasses=nclasses)
+        elif callable(module):
+            model = module(args)
+        else:
+            raise RuntimeError(f"Unknown module {name!r}.")
+        # The reference validates modular models against the probed input
+        # shape before accepting them (models.py:760-762, via torchsummary);
+        # jax.eval_shape gives the same gate without spending FLOPs.
+        if args.input_dim is not None and not check_dimensions(
+            model, tuple(args.input_dim[1:]), verbose=lead
+        ):
+            raise RuntimeError("Model not valid.")
+        return model
     raise RuntimeError(f"Model with model string '{model_name}' does not exist.")
 
 

@@ -274,6 +274,51 @@ def import_lcnn(path_or_state) -> Dict[str, Any]:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _export_ast(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of ``models.ast.import_timm_deit`` for a trained snapshot.
+
+    Emits the reference's trained-AST key layout: the DeiT backbone under
+    the ``v.`` prefix (self.v, reference models.py:548-565) plus the fresh
+    ``mlp_head.{0,1}`` LayerNorm+Linear head (models.py:572-575).  The
+    pos-embed surgery is already baked into the params, which matches a
+    trained snapshot (its pos_embed has the surgically adapted patch count).
+    """
+    out: Dict[str, np.ndarray] = {}
+    kern = np.asarray(params["patch_proj"]["kernel"])  # [16, 16, C, D]
+    out["v.patch_embed.proj.weight"] = np.transpose(kern, (3, 2, 0, 1))
+    out["v.patch_embed.proj.bias"] = np.asarray(params["patch_proj"]["bias"])
+    out["v.cls_token"] = np.asarray(params["cls_token"])
+    out["v.dist_token"] = np.asarray(params["dist_token"])
+    out["v.pos_embed"] = np.asarray(params["pos_embed"])
+    blocks = sorted(
+        (int(n.split("_")[1]), n) for n in params if n.startswith("block_")
+    )
+    for i, name in blocks:
+        blk = params[name]
+        pre = f"v.blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            out[pre + ln + ".weight"] = np.asarray(blk[ln]["scale"])
+            out[pre + ln + ".bias"] = np.asarray(blk[ln]["bias"])
+        for flax_name, torch_name in (
+            ("qkv", "attn.qkv"),
+            ("proj", "attn.proj"),
+            ("fc1", "mlp.fc1"),
+            ("fc2", "mlp.fc2"),
+        ):
+            out[pre + torch_name + ".weight"] = np.asarray(
+                blk[flax_name]["kernel"]
+            ).T
+            out[pre + torch_name + ".bias"] = np.asarray(blk[flax_name]["bias"])
+    out["v.norm.weight"] = np.asarray(params["norm"]["scale"])
+    out["v.norm.bias"] = np.asarray(params["norm"]["bias"])
+    if "head_norm" in params:
+        out["mlp_head.0.weight"] = np.asarray(params["head_norm"]["scale"])
+        out["mlp_head.0.bias"] = np.asarray(params["head_norm"]["bias"])
+        out["mlp_head.1.weight"] = np.asarray(params["head"]["kernel"]).T
+        out["mlp_head.1.bias"] = np.asarray(params["head"]["bias"])
+    return out
+
+
 def export_state_dict(variables: Dict[str, Any], layout: str = "dcnn") -> Dict[str, np.ndarray]:
     """Export flax variables back to a torch-layout flat state dict.
 
@@ -282,6 +327,8 @@ def export_state_dict(variables: Dict[str, Any], layout: str = "dcnn") -> Dict[s
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if layout == "ast":
+        return _export_ast(params)
     table = {
         "dcnn": (
             [("cnn", n, k) for n, k in _DCNN_CNN]

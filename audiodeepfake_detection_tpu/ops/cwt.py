@@ -6,14 +6,18 @@ Shannon wavelet ``shan{bandwidth}-{center_freq}``).
 
 Algorithm follows pywt's ``cwt``: the mother wavelet's antiderivative is
 sampled per scale, convolved with the signal, differentiated and scaled by
-``-sqrt(scale)``.  Convolutions run as one batched FFT multiply (all scales
-at once) — the hot path on device is two FFTs instead of per-scale loops.
+``-sqrt(scale)``.  The device path (:func:`cwt`) shares ONE signal FFT
+across all scales and runs the per-scale kernel FFTs + spectral multiplies
+as a single batched ``jnp.fft`` round trip at the maximum padded size —
+three FFT dispatches total, independent of the number of scales.
+:func:`cwt_reference` keeps the straightforward per-scale numpy float64
+evaluation for cross-testing the batched path.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -45,6 +49,30 @@ def scale2frequency(wavelet: str, scales: np.ndarray) -> np.ndarray:
     return fc / np.asarray(scales, dtype=np.float64)
 
 
+def _scale_kernels(
+    scales: np.ndarray, wavelet: str, precision: int
+) -> List[np.ndarray]:
+    """Per-scale integrated-wavelet FIR kernels (pywt's ``int_psi[j][::-1]``)."""
+    bandwidth, center = _parse_wavelet(wavelet)
+    psi, x = shannon_wavelet(bandwidth, center, precision)
+    int_psi = np.cumsum(psi) * (x[1] - x[0])
+    kernels = []
+    for scale in scales:
+        j = np.arange(scale * (x[-1] - x[0]) + 1) / (scale * (x[1] - x[0]))
+        j = j.astype(np.int64)
+        j = j[j < int_psi.size]
+        kernels.append(int_psi[j][::-1])
+    return kernels
+
+
+def _finalize(conv: np.ndarray, scale: float, k: int, t: int) -> np.ndarray:
+    """diff + ``-sqrt(scale)`` scaling + pywt's centered crop to ``t``."""
+    coef = -np.sqrt(scale) * np.diff(conv[..., : t + k - 1], axis=-1)
+    d = (coef.shape[-1] - t) / 2.0
+    start = int(np.floor(d))
+    return coef[..., start : start + t] if d > 0 else coef
+
+
 def cwt(
     data: np.ndarray,
     scales: np.ndarray,
@@ -52,7 +80,12 @@ def cwt(
     sampling_period: float = 1.0,
     precision: int = 10,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """pywt-style CWT.
+    """pywt-style CWT, batched over scales on device.
+
+    One signal FFT (shared by every scale), one batched kernel FFT, one
+    batched inverse FFT — all at the maximum padded length, in complex64.
+    The diff/crop tail per scale is static-shape numpy on the gathered
+    result (kernel lengths differ per scale).
 
     Args:
         data: ``[..., T]`` real signal.
@@ -62,32 +95,61 @@ def cwt(
     Returns:
         (coefficients ``[num_scales, ..., T]`` complex, frequencies in Hz).
     """
-    bandwidth, center = _parse_wavelet(wavelet)
-    psi, x = shannon_wavelet(bandwidth, center, precision)
-    int_psi = np.cumsum(psi) * (x[1] - x[0])
-    scales = np.asarray(scales, dtype=np.float64)
+    import jax.numpy as jnp
 
+    scales = np.asarray(scales, dtype=np.float64)
+    data = np.asarray(data)
+    t = data.shape[-1]
+    flat = data.reshape(-1, t)
+
+    kernels = _scale_kernels(scales, wavelet, precision)
+    k_max = max(k.size for k in kernels)
+    n_fft = int(2 ** np.ceil(np.log2(t + k_max - 1)))
+    ker = np.zeros((len(scales), n_fft), np.complex64)
+    for i, kk in enumerate(kernels):
+        ker[i, : kk.size] = kk
+
+    sig_f = jnp.fft.fft(jnp.asarray(flat, jnp.complex64), n_fft, axis=-1)
+    ker_f = jnp.fft.fft(jnp.asarray(ker), axis=-1)
+    conv = np.asarray(
+        jnp.fft.ifft(ker_f[:, None, :] * sig_f[None, :, :], axis=-1)
+    )  # [S, B, n_fft]
+
+    coefs = [
+        _finalize(conv[i], scale, kernels[i].size, t)
+        for i, scale in enumerate(scales)
+    ]
+    out = np.stack(coefs).reshape((len(scales),) + data.shape)
+    freqs = scale2frequency(wavelet, scales) / sampling_period
+    return out, freqs
+
+
+def cwt_reference(
+    data: np.ndarray,
+    scales: np.ndarray,
+    wavelet: str,
+    sampling_period: float = 1.0,
+    precision: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-scale float64 numpy evaluation (pywt's own loop structure).
+
+    Kept as the cross-test oracle for :func:`cwt`; same semantics, minimal
+    padded length per scale, no shared FFTs.
+    """
+    scales = np.asarray(scales, dtype=np.float64)
     data = np.asarray(data)
     t = data.shape[-1]
     flat = data.reshape(-1, t).astype(np.float64)
 
+    kernels = _scale_kernels(scales, wavelet, precision)
     coefs = []
-    for scale in scales:
-        j = np.arange(scale * (x[-1] - x[0]) + 1) / (scale * (x[1] - x[0]))
-        j = j.astype(np.int64)
-        j = j[j < int_psi.size]
-        kernel = int_psi[j][::-1]
+    for scale, kernel in zip(scales, kernels):
         k = kernel.size
         n_fft = int(2 ** np.ceil(np.log2(t + k - 1)))
         sig_f = np.fft.fft(flat, n_fft, axis=-1)
         ker_f = np.fft.fft(kernel, n_fft)
-        conv = np.fft.ifft(sig_f * ker_f, axis=-1)[..., : t + k - 1]
-        coef = -np.sqrt(scale) * np.diff(conv, axis=-1)
-        # crop to signal length (centered), like pywt
-        d = (coef.shape[-1] - t) / 2.0
-        start = int(np.floor(d))
-        coef = coef[..., start : start + t] if d > 0 else coef
-        coefs.append(coef)
+        conv = np.fft.ifft(sig_f * ker_f, axis=-1)
+        coefs.append(_finalize(conv, scale, k, t))
     out = np.stack(coefs).reshape((len(scales),) + data.shape)
     freqs = scale2frequency(wavelet, scales) / sampling_period
     return out, freqs

@@ -308,6 +308,27 @@ def _pps_bwd(res, cts):
 fused_prelu_pool_stats.defvjp(_pps_fwd, _pps_bwd)
 
 
+def fused_pool_geometry_fits(
+    h: int, w: int, c: int, budget_bytes: int = 10 * 2**20
+) -> bool:
+    """True when the fused PReLU+pool kernel's per-cell VMEM blocks fit.
+
+    Same fallback contract as ``ops.fused_conv1.fused_geometry_fits``: for
+    degenerate activation geometries the ``[1, 2*orows, W, C]`` input/dx
+    blocks exceed VMEM and Mosaic fails at compile with an opaque
+    allocation error, so callers gate on this and use the unfused XLA path
+    instead.  Counted at f32 width with a 2x factor for Mosaic's
+    double-buffered grid pipelining.
+    """
+    h2, w2 = h // 2, w // 2
+    if h2 < 1 or w2 < 1:
+        return False
+    orows = _rows_per_cell(h2)
+    full_block = 2 * orows * w * c * 4  # fwd input / bwd dx
+    small_blocks = orows * w2 * c * (4 + 1 + 4)  # out + int8 sel + g
+    return 2 * (full_block + small_blocks) <= budget_bytes
+
+
 def reference_prelu_pool(x, alpha):
     """Unfused XLA reference (for tests)."""
     act = jnp.where(x >= 0, x, alpha[0] * x)

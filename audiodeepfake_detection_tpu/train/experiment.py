@@ -336,6 +336,29 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     return trainer
 
 
+def dump_true_indices(args: DotDict, trainer, model_file: str) -> str:
+    """Write the ``--get-details`` correct-index dump for model-diff analysis.
+
+    "dataset" keeps the reference layout for analyze-model-diffs
+    compatibility (reference train_classifier.py:1348-1356): the cross-test
+    table, which the "unknown" indices index.  The reference stores the
+    "known" indices against that same table even though they index the known
+    test set — misaligned rows; the correct table additionally goes under
+    "dataset_known" (consumed by analysis/model_diffs.py).  Without a cross
+    set the cross table is simply absent instead of crashing.
+    """
+    known = trainer.current_true_indices.get("test known", np.zeros(0))
+    unknown = trainer.current_true_indices.get("test unknown", np.zeros(0))
+    payload = {"known": np.asarray(known), "unknown": np.asarray(unknown)}
+    if trainer.cross_loader_test is not None:
+        payload["dataset"] = trainer.cross_loader_test.dataset.audio_data
+    if trainer.test_loader is not None:
+        payload["dataset_known"] = trainer.test_loader.dataset.audio_data
+    out = f"{args.log_dir}/true_ind_{model_file.split('/')[-1]}_{args.seed}.npy"
+    np.save(out, payload)
+    return out
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Train an audio classifier")
     parser = add_default_parser_args(parser)
@@ -386,16 +409,7 @@ def main(argv=None) -> None:
         exp_results.setdefault(args.seed, []).append(trainer.test_results)
 
         if args.get_details and trainer.current_true_indices:
-            known = trainer.current_true_indices.get("test known", np.zeros(0))
-            unknown = trainer.current_true_indices.get("test unknown", np.zeros(0))
-            np.save(
-                f"{args.log_dir}/true_ind_{model_file.split('/')[-1]}_{args.seed}.npy",
-                {
-                    "known": np.asarray(known),
-                    "unknown": np.asarray(unknown),
-                    "dataset": trainer.cross_loader_test.dataset.audio_data,
-                },
-            )
+            dump_true_indices(args, trainer, model_file)
 
     print_results(args, exp_results, griderator, model_file)
 

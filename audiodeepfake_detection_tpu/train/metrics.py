@@ -109,7 +109,9 @@ def dense_counts_to_dicts(
     for label, total in enumerate(np.asarray(totals)):
         if total > 0:
             count_dict[label] = int(total)
-            ok_dict[label] = [True] * int(ok_counts[label]) + [False] * int(
-                total - ok_counts[label]
-            )
+            # calculate_acc_label only ever reduces this value with
+            # ``sum(...)`` (like the reference sums its gathered bool
+            # lists), so a one-element count list is equivalent without
+            # materializing a corpus-sized [True]*ok + [False]*rest list.
+            ok_dict[label] = [int(ok_counts[label])]
     return ok_dict, count_dict

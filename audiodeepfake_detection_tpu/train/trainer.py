@@ -73,6 +73,21 @@ class Trainer:
         self.label_names = label_names or {}
 
         self.tx = make_optimizer(args.learning_rate, args.weight_decay)
+        self.steps_per_call = int(args.get("steps_per_call") or 1)
+        self._build_steps()
+
+        self.state: Optional[TrainState] = None
+        self.epochs_run = 0
+        self.step_total = 0
+        self.loss_list: List[list] = []
+        self.accuracy_list: List[list] = []
+        self.validation_list: List[list] = []
+        self.test_results: tuple = ()
+        self.current_true_indices: Dict[str, np.ndarray] = {}
+
+    def _build_steps(self) -> None:
+        """(Re)build the jitted step functions for the current model."""
+        model, transform, args = self.model, self.transform, self.args
         self.train_step = make_train_step(
             model,
             transform,
@@ -83,7 +98,6 @@ class Trainer:
         # chain G optimizer steps per dispatch (lax.scan) — identical math,
         # G fewer host round-trips (the relay costs ~100 ms per dispatch
         # with fresh inputs; see steps.make_multi_train_step)
-        self.steps_per_call = int(args.get("steps_per_call") or 1)
         self.multi_train_step = None
         self.multi_eval_step = None  # built lazily in val_test_loop
         if self.steps_per_call > 1:
@@ -98,16 +112,44 @@ class Trainer:
             )
         self.eval_step = make_eval_step(model, transform)
 
-        self.state: Optional[TrainState] = None
-        self.epochs_run = 0
-        self.step_total = 0
-        self.loss_list: List[list] = []
-        self.accuracy_list: List[list] = []
-        self.validation_list: List[list] = []
-        self.test_results: tuple = ()
-        self.current_true_indices: Dict[str, np.ndarray] = {}
-
     # ------------------------------------------------------------------ init
+
+    def _guard_fused_zero_alpha(self) -> None:
+        """Fall back to the unfused path when a PReLU slope is exactly 0.
+
+        The fused Pallas kernels recover ``dalpha`` from the saved pooled
+        output as ``sum(out * g) / alpha``, which degenerates at ``alpha ==
+        0.0`` exactly (KNOWN LIMIT, ops/fused_conv1.py): an exactly-zero
+        (ReLU-style) slope would silently never receive gradient.  The
+        default init is 0.25 and fp32 Adam never lands on exactly 0.0, but
+        an imported checkpoint can — detect it on the concrete params and
+        rebuild the model with the fused kernels off (the unfused XLA path
+        handles alpha == 0 correctly; the param tree is identical).
+        """
+        model = self.model
+        fused_attrs = [
+            a for a in ("fused_layer1", "fused_pool") if getattr(model, a, False)
+        ]
+        if not fused_attrs or self.state is None:
+            return
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(self.state.params)
+        zeros = [
+            keystr(path)
+            for path, leaf in leaves
+            if "alpha" in keystr(path).lower()
+            and np.any(np.asarray(leaf) == 0.0)
+        ]
+        if not zeros:
+            return
+        print(
+            "warning: PReLU slope(s) exactly 0.0 after init/import "
+            f"({', '.join(zeros)}); the fused kernels cannot propagate "
+            "dalpha through a zero slope — using the unfused XLA path."
+        )
+        self.model = model.clone(**{a: False for a in fused_attrs})
+        self._build_steps()
 
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> None:
         if self.state is not None:
@@ -123,6 +165,7 @@ class Trainer:
             batch_stats=replicate(self.mesh, self.state.batch_stats),
             opt_state=replicate(self.mesh, self.state.opt_state),
         )
+        self._guard_fused_zero_alpha()
 
     def load_variables(self, variables: Dict[str, Any]) -> None:
         """Install imported variables (e.g. from a ``.pt`` snapshot)."""
@@ -137,6 +180,7 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             rng=rng,
         )
+        self._guard_fused_zero_alpha()
 
     # ------------------------------------------------------------- training
 
@@ -448,7 +492,13 @@ class Trainer:
             "params": jax.tree.map(np.asarray, self.state.params),
             "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
         }
-        layout = "lcnn" if self.args.model == "lcnn" else "dcnn"
+        model_kind = getattr(self.model, "get_name", lambda: "")()
+        if self.args.model == "lcnn":
+            layout = "lcnn"
+        elif model_kind == "AST":
+            layout = "ast"
+        else:
+            layout = "dcnn"
         try:
             import torch
 
@@ -492,12 +542,24 @@ class Trainer:
         """
         path = snapshot_path or self.snapshot_path
         state_pkl = path + ".state.pkl"
+        # An explicit snapshot_path must win over the trainer's default
+        # orbax dir: resolve the orbax candidate FROM the requested path
+        # (its sibling ``<base>.orbax``, or the path itself when it already
+        # names an orbax directory) instead of silently restoring
+        # ``self.orbax_path`` for a different checkpoint.
+        if snapshot_path is None:
+            orbax_dir = self.orbax_path
+        elif os.path.isdir(path):
+            orbax_dir = path
+        else:
+            base = path[: -len(".pt")] if path.endswith(".pt") else path
+            orbax_dir = base + ".orbax"
         blob = None
-        if os.path.exists(self.orbax_path):
+        if os.path.isdir(orbax_dir):
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as ckptr:
-                blob = ckptr.restore(os.path.abspath(self.orbax_path))
+                blob = ckptr.restore(os.path.abspath(orbax_dir))
         elif os.path.exists(state_pkl):
             with open(state_pkl, "rb") as fh:
                 blob = pickle.load(fh)
@@ -519,6 +581,25 @@ class Trainer:
             )
 
             state = load_torch_state_dict(path)
-            importer = import_lcnn if self.args.model == "lcnn" else import_dcnn
+            model_kind = getattr(self.model, "get_name", lambda: "")()
+            if self.args.model == "lcnn":
+                importer = import_lcnn
+            elif model_kind == "AST":
+                from ..models.ast import import_timm_deit
+
+                m = self.model
+
+                def importer(s):
+                    return import_timm_deit(
+                        s,
+                        fstride=m.fstride,
+                        tstride=m.tstride,
+                        input_fdim=m.input_fdim,
+                        input_tdim=m.input_tdim,
+                        model_size=m.model_size,
+                    )
+
+            else:
+                importer = import_dcnn
             self.load_variables(importer(state))
             self.epochs_run = load_epochs_run(path)

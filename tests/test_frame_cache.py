@@ -106,4 +106,9 @@ class TestFrameCache:
 
         t_cache = best_of_3(cached)
         t_decode = best_of_3(direct)
-        assert t_cache < t_decode * 1.5  # cache must not be slower
+        # The 1.5x tolerance is deliberate headroom for noisy shared CI
+        # runners: on this microsecond-scale corpus the cache's real win
+        # (66k vs 11k frames/s on the bench corpus, tools/bench_loader.py)
+        # is swamped by per-epoch fixed costs, so the guard only catches a
+        # cache path that is grossly slower than direct decode.
+        assert t_cache < t_decode * 1.5

@@ -91,7 +91,7 @@ class TestDCNNParity:
             want = ref(torch.from_numpy(x)).numpy()
         state = {k: v.numpy() for k, v in ref.state_dict().items()}
         variables = jax.tree.map(np.asarray, import_dcnn(state))
-        kw = dict(time_dim=12)
+        kw = dict(time_dim=12, flattend_size=flattend)
         if variant == "DCNNxDropout":
             kw["with_dropout"] = False
         else:

@@ -332,3 +332,112 @@ class TestFactory:
     def test_unknown_model_raises(self):
         with pytest.raises(RuntimeError):
             get_model(DotDict(), "nope")
+
+
+class TestModulesDimensionCheck:
+    def _args(self, **over):
+        base = dict(
+            input_dim=[8, 1, 256, 95],
+            time_dim_add=1,
+            module="DCNN",
+            ochannels1=8,
+            ochannels2=8,
+            ochannels3=12,
+            ochannels4=16,
+            ochannels5=4,
+            kernel1=3,
+            flattend_size=320,
+            dropout_cnn=0.6,
+            dropout_lstm=0.2,
+        )
+        base.update(over)
+        return DotDict(base)
+
+    def test_valid_dims_pass(self):
+        model = get_model(self._args(), "modules")
+        assert model.get_name() == "DCNN"
+
+    def test_invalid_dims_raise_model_not_valid(self):
+        """The reference gates modular models on torchsummary succeeding
+        (models.py:760-762) and raises "Model not valid." otherwise; the
+        eval_shape gate must do the same for a broken geometry."""
+        with pytest.raises(RuntimeError, match="Model not valid"):
+            get_model(self._args(input_dim=[8, 1, 4, 4]), "modules")
+
+    def test_wrong_flattend_size_raises(self):
+        with pytest.raises(RuntimeError, match="Model not valid"):
+            get_model(self._args(flattend_size=512), "modules")
+
+
+class TestASTFactory:
+    def _args(self, **over):
+        base = dict(
+            input_dim=[8, 1, 64, 48],
+            module="AST",
+            flattend_size=48,  # reference: ASTModel reads tdim from here
+            ast_model_size="tiny224",
+        )
+        base.update(over)
+        return DotDict(base)
+
+    def test_modules_ast_registry(self):
+        """AST is reachable through the driver's modules path with geometry
+        plumbed from the config (reference models.py:497-536, 760-765)."""
+        model = get_model(self._args(), "modules")
+        assert model.get_name() == "AST"
+        assert model.input_fdim == 64
+        assert model.input_tdim == 48  # flattend_size wins (reference rule)
+        assert model.model_size == "tiny224"
+        assert model.label_dim == 2
+
+    def test_tdim_falls_back_to_probed_input_dim(self):
+        model = get_model(self._args(flattend_size=None), "modules")
+        assert model.input_tdim == 48
+
+    def test_astmodel_name_alias(self):
+        model = get_model(self._args(module="ASTModel"), "modules")
+        assert model.get_name() == "AST"
+
+    def test_bad_geometry_rejected(self):
+        # tdim claimed 101 but probed input is 48 wide -> patch reshape fails
+        with pytest.raises(RuntimeError, match="Model not valid"):
+            get_model(self._args(flattend_size=101), "modules")
+
+
+class TestASTExportRoundtrip:
+    def test_pt_layout_roundtrip(self):
+        """export_state_dict(layout="ast") emits the reference's trained
+        snapshot layout (v.-prefixed DeiT + mlp_head) and import_timm_deit
+        inverts it exactly."""
+        import jax
+
+        from audiodeepfake_detection_tpu.models.ast import (
+            ASTModel,
+            import_timm_deit,
+        )
+        from audiodeepfake_detection_tpu.models.torch_import import (
+            export_state_dict,
+        )
+
+        model = ASTModel(model_size="tiny224", input_fdim=32, input_tdim=32)
+        x = np.random.RandomState(0).randn(1, 1, 32, 32).astype(np.float32)
+        variables = model.init(jax.random.key(0), x, train=False)
+        state = export_state_dict(
+            {"params": jax.tree.map(np.asarray, variables["params"])},
+            layout="ast",
+        )
+        assert "v.patch_embed.proj.weight" in state
+        assert "mlp_head.1.weight" in state
+        back = import_timm_deit(
+            state, input_fdim=32, input_tdim=32, model_size="tiny224"
+        )
+        flat0, _ = jax.tree_util.tree_flatten_with_path(variables["params"])
+        flat1 = dict(jax.tree_util.tree_flatten_with_path(back["params"])[0])
+        for path, leaf in flat0:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat1[path]), rtol=0, atol=0
+            )
+        # forward agrees bit-for-bit after the round trip
+        a = np.asarray(model.apply(variables, x, train=False))
+        b = np.asarray(model.apply(back, x, train=False))
+        np.testing.assert_array_equal(a, b)

@@ -345,3 +345,141 @@ def test_trainer_init_state_accepts_int16_batch():
     }
     trainer.init_state(batch)
     assert trainer.state is not None
+
+
+def _tiny_trainer(tmp_path, name="snap", **model_kw):
+    from audiodeepfake_detection_tpu.models import DCNN
+    from audiodeepfake_detection_tpu.ops.wpt import packet_image
+    from audiodeepfake_detection_tpu.train.trainer import Trainer
+    from audiodeepfake_detection_tpu.utils.config import default_config
+
+    args = default_config()
+    args.update(seed=0, learning_rate=4e-4, weight_decay=1e-3)
+    model = DCNN(
+        time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+        ochannels4=8, ochannels5=2, **model_kw,
+    )
+
+    def transform(audio):
+        return packet_image(audio, "haar", level=8, log_scale=True)
+
+    trainer = Trainer(
+        model, transform, args, snapshot_path=str(tmp_path / name)
+    )
+    batch = {
+        "audio": np.random.RandomState(0)
+        .randn(4, 1, 2048)
+        .astype(np.float32),
+        "label": np.zeros(4, np.int32),
+    }
+    trainer.init_state(batch)
+    return trainer
+
+
+class TestSnapshotPathOverride:
+    def test_explicit_path_wins_over_default_orbax(self, tmp_path):
+        """Regression (round-2 review): load_snapshot(snapshot_path=...)
+        silently restored the trainer's DEFAULT orbax dir whenever one
+        existed, ignoring the explicit argument."""
+        trainer = _tiny_trainer(tmp_path)
+        trainer.save_snapshot(epoch=1)  # default path: snap.pt + snap.orbax
+
+        # a second, different checkpoint at an explicit location
+        default_pt, default_orbax = trainer.snapshot_path, trainer.orbax_path
+        trainer.snapshot_path = str(tmp_path / "other.pt")
+        trainer.orbax_path = str(tmp_path / "other.orbax")
+        trainer.save_snapshot(epoch=5)
+        trainer.snapshot_path, trainer.orbax_path = default_pt, default_orbax
+
+        trainer.epochs_run = 0
+        trainer.load_snapshot(str(tmp_path / "other.pt"))
+        assert trainer.epochs_run == 5  # pre-fix: 1 (the default orbax)
+
+        # no argument still restores the default checkpoint
+        trainer.load_snapshot()
+        assert trainer.epochs_run == 1
+
+        # an explicit orbax directory path works too
+        trainer.load_snapshot(str(tmp_path / "other.orbax"))
+        assert trainer.epochs_run == 5
+
+
+class TestZeroAlphaFusedGuard:
+    def test_zero_alpha_import_disables_fused_kernels(self, tmp_path, capsys):
+        """An imported checkpoint with a ReLU-style alpha == 0.0 cannot
+        train through the fused kernels (dalpha recovery degenerates);
+        the trainer must fall back to the unfused path."""
+        import jax
+
+        trainer = _tiny_trainer(tmp_path, name="za", fused_layer1=True)
+        assert trainer.model.fused_layer1
+        variables = {
+            "params": jax.tree.map(np.asarray, trainer.state.params),
+            "batch_stats": jax.tree.map(np.asarray, trainer.state.batch_stats),
+        }
+        variables["params"]["cnn_1"]["alpha"] = np.zeros_like(
+            variables["params"]["cnn_1"]["alpha"]
+        )
+        trainer.load_variables(variables)
+        assert trainer.model.fused_layer1 is False
+        assert "unfused" in capsys.readouterr().out
+
+    def test_nonzero_alpha_keeps_fused_kernels(self, tmp_path):
+        trainer = _tiny_trainer(tmp_path, name="nz", fused_layer1=True)
+        import jax
+
+        variables = {
+            "params": jax.tree.map(np.asarray, trainer.state.params),
+            "batch_stats": jax.tree.map(np.asarray, trainer.state.batch_stats),
+        }
+        trainer.load_variables(variables)
+        assert trainer.model.fused_layer1 is True
+
+
+class TestTrueIndexDump:
+    class _StubLoader:
+        def __init__(self, table):
+            self.dataset = type("DS", (), {"audio_data": table})()
+
+    def _stub_trainer(self, with_cross):
+        t = type("T", (), {})()
+        t.current_true_indices = {
+            "test known": np.array([0, 2]),
+            "test unknown": np.array([1]),
+        }
+        t.test_loader = self._StubLoader(np.array([["k", 0, 1, 0]] * 3, object))
+        t.cross_loader_test = (
+            self._StubLoader(np.array([["x", 0, 1, 1]] * 2, object))
+            if with_cross
+            else None
+        )
+        return t
+
+    def test_without_cross_loader_no_crash(self, tmp_path):
+        """Regression (round-2 review): get_details with no cross set
+        raised AttributeError on cross_loader_test.dataset."""
+        from audiodeepfake_detection_tpu.train.experiment import (
+            dump_true_indices,
+        )
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(log_dir=str(tmp_path), seed=0, get_details=True)
+        out = dump_true_indices(args, self._stub_trainer(False), "m")
+        blob = np.load(out, allow_pickle=True).item()
+        assert "dataset" not in blob
+        assert blob["dataset_known"].shape == (3, 4)
+        np.testing.assert_array_equal(blob["known"], [0, 2])
+
+    def test_known_indices_get_their_own_table(self, tmp_path):
+        from audiodeepfake_detection_tpu.train.experiment import (
+            dump_true_indices,
+        )
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(log_dir=str(tmp_path), seed=0, get_details=True)
+        out = dump_true_indices(args, self._stub_trainer(True), "m")
+        blob = np.load(out, allow_pickle=True).item()
+        assert blob["dataset"].shape == (2, 4)  # reference layout: cross
+        assert blob["dataset_known"].shape == (3, 4)

@@ -7,6 +7,8 @@ test-only oracle) and perfect-reconstruction / ordering invariants for the
 WPT.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -295,3 +297,37 @@ class TestHighOrderWavelets:
     def test_unsupported_order_raises_loudly(self):
         with pytest.raises(ValueError, match="orthogonality"):
             get_wavelet("sym20")
+
+
+class TestPtwtGoldens:
+    """Diff the WPT against real ptwt coefficient dumps when available.
+
+    The fixture ``tests/goldens/ptwt_wpt.npz`` is produced by
+    ``tools/dump_ptwt_goldens.py`` in a ptwt/pywt-capable environment
+    (neither is installed in this container) and committed; until it
+    lands these tests skip and parity rests on the derived invariants
+    above (pywt published tables, Gray-code recursion, perfect
+    reconstruction).
+    """
+
+    GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "ptwt_wpt.npz")
+
+    def test_golden_coefficients(self):
+        if not os.path.exists(self.GOLDEN):
+            pytest.skip("ptwt golden fixture not recorded yet")
+        data = np.load(self.GOLDEN)
+        checked = 0
+        for key in data.files:
+            if key.startswith("signal_"):
+                continue
+            wavelet, lv, n = key.split("_")
+            level, length = int(lv[1:]), int(n[1:])
+            x = data[f"signal_{length}"]
+            got = np.asarray(
+                wpt_analysis(jnp.asarray(x[None], jnp.float32), wavelet, level)
+            )[0]
+            want = data[key]
+            assert got.shape == want.shape, key
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5, err_msg=key)
+            checked += 1
+        assert checked > 0
