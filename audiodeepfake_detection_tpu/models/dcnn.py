@@ -76,6 +76,13 @@ class DCNN(nn.Module):
     # the full-size cotangent from a 3-bit code instead of running
     # select-and-scatter + PReLU compare-select. Same True/"always" gating.
     fused_pool: Any = False
+    # Fuse the whole second pool block — BN(cnn_6)-folded conv(cnn_7) +
+    # PReLU(cnn_8) + pool2 — into one Pallas kernel with a full VJP
+    # (ops/fused_conv2.py): the [B, H, W, 96] pre-pool activation never
+    # exists in HBM in either direction.  Requires fold_bn (the kernel
+    # consumes folded weights + a correction map).  Same True/"always"
+    # gating as fused_layer1.
+    fused_layer2: Any = False
     # Device mesh for SPMD: when set and >1 devices, the fused kernels run
     # per batch shard via shard_map (ops/fused_conv1.batch_shard_mapped) —
     # GSPMD would otherwise replicate the Pallas custom call.
@@ -184,7 +191,6 @@ class DCNN(nn.Module):
             stats=bn3_stats,
         )
         x = PReLU(name="cnn_5")(x)
-        x = bn_conv(x, "cnn_6", "cnn_7", False, self.ochannels3, 3, 1)
 
         use_fused_pool = bool(self.fused_pool) and (
             train or self.fused_pool == "always"
@@ -220,7 +226,67 @@ class DCNN(nn.Module):
                 return x, (s, q)
             return pool_fn(x, alpha), None
 
-        x, bn10_stats = prelu_pool(x, "cnn_8", train and self.fold_bn)
+        if self.fused_layer2:
+            from ..ops.fused_conv2 import fused_conv2_geometry_fits
+        use_fused2 = (
+            bool(self.fused_layer2)
+            and self.fold_bn
+            and (train or self.fused_layer2 == "always")
+            and fused_conv2_geometry_fits(
+                x.shape[1], x.shape[2], x.shape[3], self.ochannels3
+            )
+        )
+        if use_fused2:
+            # BN(cnn_6) folds into the conv as effective weights + an
+            # additive correction map (exact at padded borders, the
+            # folded_bn_conv identity); the kernel consumes both and its
+            # VJP returns dw_eff/dcorr, which autodiff chains back into
+            # the BN moments, conv kernel and bias out here.
+            from ..ops.fused_conv1 import batch_shard_mapped, can_batch_shard
+            from ..ops.fused_conv2 import (
+                fused_conv2_prelu_pool,
+                fused_conv2_prelu_pool_stats,
+            )
+            from .layers import BatchNormStats
+
+            cin = x.shape[-1]
+            s, t = BatchNormStats(affine=False, name="cnn_6")(x, train)
+            kernel, bias = _ConvScope(
+                (3, 3, cin, self.ochannels3), name="cnn_7"
+            )()
+            dt = x.dtype
+            w_eff = (
+                (kernel * s[None, None, :, None])
+                .reshape(9 * cin, self.ochannels3)
+                .astype(dt)
+            )
+            t_map = jnp.broadcast_to(
+                t.astype(dt), (1, x.shape[1], x.shape[2], cin)
+            )
+            const = jax.lax.conv_general_dilated(
+                t_map, kernel.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+            )
+            corr = (const[0] + bias.astype(dt)).astype(jnp.float32)
+            alpha = _AlphaScope(name="cnn_8")().reshape(1).astype(dt)
+            f2_fn, f2_stats_fn = (
+                fused_conv2_prelu_pool,
+                fused_conv2_prelu_pool_stats,
+            )
+            if can_batch_shard(self.mesh, x.shape[0]):
+                f2_fn = batch_shard_mapped(f2_fn, self.mesh)
+                f2_stats_fn = batch_shard_mapped(
+                    f2_stats_fn, self.mesh, stat_outputs=2
+                )
+            if train:
+                x, s10, q10 = f2_stats_fn(x, w_eff, corr, alpha)
+                bn10_stats = (s10, q10)
+            else:
+                x = f2_fn(x, w_eff, corr, alpha)
+                bn10_stats = None
+        else:
+            x = bn_conv(x, "cnn_6", "cnn_7", False, self.ochannels3, 3, 1)
+            x, bn10_stats = prelu_pool(x, "cnn_8", train and self.fold_bn)
         x = bn_conv(
             x, "cnn_10", "cnn_11", False, self.ochannels4, 3, 1,
             stats=bn10_stats,

@@ -71,6 +71,7 @@ def _build_dcnn(
         precision=precision,
         fused_layer1=_tri_flag(args.fused_layer1),
         fused_pool=_tri_flag(args.fused_pool),
+        fused_layer2=_tri_flag(args.fused_layer2),
         mesh=mesh,
         in_channels=in_channels,
         ochannels1=args.ochannels1 or 64,

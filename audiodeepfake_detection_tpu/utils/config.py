@@ -111,6 +111,7 @@ def default_config() -> DotDict:
         dtype="float32",
         fused_layer1=False,
         fused_pool=False,
+        fused_layer2=False,
         frame_cache=False,
         steps_per_call=1,
     )

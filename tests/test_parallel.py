@@ -148,6 +148,64 @@ class TestShardMappedFusedKernels:
             )
 
 
+    def test_fused_layer2_dp_step_matches_unfused_dp_step(self, eight_devices):
+        """Same isolation for the mid-layer conv2+PReLU+pool2 kernel
+        (ops/fused_conv2.py): its shard_map'd DP step — including the dx
+        path and the psum'd next-BN moments — must match the unfused GSPMD
+        step on the same sharded mesh."""
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_train_step,
+        )
+
+        mesh = get_mesh()
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        kw = dict(
+            time_dim=1, ochannels1=8, ochannels2=8, ochannels3=12,
+            ochannels4=16, ochannels5=4, with_dropout=False,
+        )
+        rng = np.random.RandomState(3)
+        batch = {
+            "audio": rng.randn(16, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 16).astype(np.int32),
+        }
+        img = transform(jnp.asarray(batch["audio"][:2]))
+        import optax
+
+        tx = optax.sgd(1e-2)
+        db = shard_batch(mesh, batch)
+
+        def run(model):
+            s = create_train_state(model, tx, img, seed=0)
+            s = s._replace(
+                params=replicate(mesh, s.params),
+                batch_stats=replicate(mesh, s.batch_stats),
+                opt_state=replicate(mesh, s.opt_state),
+            )
+            return make_train_step(model, transform, tx)(s, db)
+
+        s0, st0 = run(DCNN(**kw))  # unfused, GSPMD
+        s1, st1 = run(DCNN(mesh=mesh, fused_layer2=True, **kw))
+
+        np.testing.assert_allclose(
+            float(st0["loss"]), float(st1["loss"]), rtol=1e-5
+        )
+        for tree0, tree1 in ((s0.params, s1.params),
+                             (s0.batch_stats, s1.batch_stats)):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+                ),
+                tree0,
+                tree1,
+            )
+
+
 class TestShardMappedSingleOutputKernels:
     def test_mfm_kernel_matches_unsharded(self, eight_devices):
         """The stat_outputs=0 branch of batch_shard_mapped (single-array
