@@ -54,6 +54,23 @@ Reference counterparts: torch ``BatchNorm2d`` + ``Conv2d(…, 3, padding=1)``
 
 Used by ``DCNN(fused_layer2=True)``; tests run the kernel in interpreter
 mode on CPU (tests/test_fused_conv2.py).
+
+STATUS — correct but OFF BY DEFAULT: measured 20.3 vs 12.4 ms/step at the
+headline geometry (batch 128, 48x129x64->96).  Per-op trace: the kernel
+pair costs 8.3 ms (fwd 3.3 / bwd 5.0) against ~4 ms of XLA ops replaced,
+plus ~1.5 ms of NEW boundary costs (the x jnp.pad + two more Pallas call
+sites' layout copies).  The economics differ structurally from the
+first-layer kernel: conv2 is MXU-bound (~0.6 ms/direction minimum, which
+XLA already achieves) and the eliminable pre-pool intermediate is only
+152 MB (~0.75 ms of HBM traffic) — smaller than the fixed Pallas boundary
+overhead.  Known further optimizations (im2col copies grouped per input
+row instead of per conv row = 3x less VPU traffic; M=W2*2 dots dropping
+the pool-discarded conv column; in-kernel padding; transposed d_row for
+the (0,0)-contraction kernel-gradient dots) project to ~5.5 ms — still a
+net loss.  The kernel wins only when the intermediate grows faster than
+the fixed costs (e.g. num_of_scales >= 512 or multi-second frames, where
+the pre-pool tensor is 4-8x larger); it is kept correct, tested and
+geometry-gated for those configurations.
 """
 
 from __future__ import annotations
@@ -81,8 +98,10 @@ def _build_patch(x_ref, p_ref, h: int, w: int, c_in: int):
 
     9 static copies; the ``dw`` offsets (0..2) are unaligned sublane slices,
     which Mosaic lowers as plain VPU copies (the same pattern as
-    fused_conv1._build_tap_planes).  ``p_ref`` is in the dot dtype so the
-    copy doubles as the operand cast.
+    fused_conv1._build_tap_planes).  ``p_ref`` stays f32 — the conv1
+    kernel's measured rule: unaligned-offset copies into sub-32-bit
+    scratch lower badly; the dot operands are cast to the bf16 rate at
+    the dot instead.
     """
     for dh in range(K):
         for dw in range(K):
@@ -95,7 +114,7 @@ def _build_patch(x_ref, p_ref, h: int, w: int, c_in: int):
 def _conv_row(p_ref, w_ref, corr_ref, row_local: int, dot_dtype):
     """One conv output row ``[W, Cout]`` f32: patch @ weights + correction."""
     conv = jax.lax.dot_general(
-        p_ref[...],
+        p_ref[...].astype(dot_dtype),
         w_ref[...].astype(dot_dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -124,7 +143,9 @@ def _fwd_kernel(
     c_in = x_ref.shape[3]
     i, hb = pl.program_id(0), pl.program_id(1)
     alpha = alpha_ref[0, 0]
-    dd = p_ref.dtype
+    # bf16 inputs take the MXU's native rate; the f32 patch scratch
+    # is cast at the dot (fp32 parity paths keep fp32 dots)
+    dd = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
 
     if emit_stats:
 
@@ -200,7 +221,9 @@ def _bwd_kernel(
     i, hb = pl.program_id(0), pl.program_id(1)
     n_hb = pl.num_programs(1)
     alpha = alpha_ref[0, 0]
-    dd = p_ref.dtype
+    # bf16 inputs take the MXU's native rate; the f32 patch scratch
+    # is cast at the dot (fp32 parity paths keep fp32 dots)
+    dd = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     gs = gs_ref[...] if with_stats else None  # [1, Cout]
     gq = gq_ref[...] if with_stats else None
     tail = w_full - 2 * w2  # dropped odd conv column (floor pool)
@@ -244,7 +267,7 @@ def _bwd_kernel(
             _build_patch(x_ref, p_ref, h, w_full, c_in)
             # kernel gradient: contract the row dim of patches and d_row
             dw_ref[...] += jax.lax.dot_general(
-                p_ref[...],
+                p_ref[...].astype(dd),
                 d_row.astype(dd),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -317,7 +340,7 @@ def _fwd_impl(x, w, corr, alpha, want_sel: bool, want_stats: bool):
         ],
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
-        scratch_shapes=[pltpu.VMEM((win, K * K * c_in), dd)],
+        scratch_shapes=[pltpu.VMEM((win, K * K * c_in), jnp.float32)],
         interpret=interpret,
     )(xp, w.astype(jnp.float32), corr.astype(jnp.float32), alpha2)
     return res if isinstance(res, tuple) else (res,)
@@ -384,7 +407,7 @@ def _run_bwd(res, g, gs=None, gq=None):
             jax.ShapeDtypeStruct(xp.shape, x.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((win, K * K * c_in), dd),
+            pltpu.VMEM((win, K * K * c_in), jnp.float32),
             pltpu.VMEM(xp.shape[1:], jnp.float32),
         ],
         interpret=interpret,

@@ -19,7 +19,7 @@ B = 128
 T = 22050
 
 
-def headline_setup(fused: bool = True, batch: int = B):
+def headline_setup(fused: bool = True, batch: int = B, fused2: bool = False):
     """Shared harness for the headline configuration (packets-sym5 + DCNN,
     bf16 speed mode): returns (model, transform, host_batch, state, step).
     Used by bench_matrix/profile_step/dump_hlo so the config lives once."""
@@ -45,6 +45,7 @@ def headline_setup(fused: bool = True, batch: int = B):
         precision=jax.lax.Precision.DEFAULT,
         dtype=jnp.bfloat16,
         fused_layer1=fused,
+        fused_layer2=fused2,
     )
 
     def transform(audio):

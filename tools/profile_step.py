@@ -20,12 +20,12 @@ sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
 
-def run_and_trace(out_dir: str, steps: int, fused: bool = False) -> None:
+def run_and_trace(out_dir: str, steps: int, fused: bool = False, fused2: bool = False) -> None:
     import jax
 
     from bench_matrix import headline_setup
 
-    _model, _transform, batch, state, step = headline_setup(fused=fused)
+    _model, _transform, batch, state, step = headline_setup(fused=fused, fused2=fused2)
     dbatch = jax.device_put(batch)
     state, stats = step(state, dbatch)
     float(stats["loss"])
@@ -86,7 +86,8 @@ if __name__ == "__main__":
     parser.add_argument("--out", default="/tmp/jax_trace")
     parser.add_argument("--summarize-only", action="store_true")
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--fused2", action="store_true")
     args = parser.parse_args()
     if not args.summarize_only:
-        run_and_trace(args.out, args.steps, fused=args.fused)
+        run_and_trace(args.out, args.steps, fused=args.fused, fused2=args.fused2)
     summarize(args.out)
