@@ -194,6 +194,11 @@ def _fwd_master(*refs, dot_dtype, emit_sel, emit_stats):
 
     w4 = w4_ref[...].astype(dot_dtype)
     b4 = b4_ref[...]
+    # NB elementwise stays f32 even for bf16 layers: the v5e VPU has no
+    # bf16 compare (Mosaic: "Target does not support this comparison" on
+    # arith.cmpf bf16) — bf16 is a storage format, not an ALU width, so
+    # casting buys conversions without cutting ALU work.  The lever that
+    # does work is op COUNT: the pairwise-max index tracking below.
     s_acc = q_acc = None
     if emit_stats:
         s_acc = jnp.zeros((c, 1), jnp.float32)
@@ -203,27 +208,30 @@ def _fwd_master(*refs, dot_dtype, emit_sel, emit_stats):
         conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype)
         act4 = jnp.where(conv4 >= 0, conv4, alpha * conv4)
         acts = [act4[idx * c : (idx + 1) * c] for idx in range(NPH)]
-        m = jnp.maximum(
-            jnp.maximum(acts[0], acts[1]), jnp.maximum(acts[2], acts[3])
-        )
-        stored = m.astype(out_ref.dtype)
-        out_ref[0, r] = stored
+        # pairwise max with index tracking: strict > keeps the first-match
+        # tie-break (ties pick the lower index) in roughly half the
+        # compare/select ops of the 4-way equality scan
+        m01 = jnp.maximum(acts[0], acts[1])
+        m23 = jnp.maximum(acts[2], acts[3])
+        m = jnp.maximum(m01, m23)
+        out_ref[0, r] = m.astype(out_ref.dtype)
         if emit_sel:
-            code = jnp.zeros((c, w2), jnp.int32)
-            taken = None
-            for idx in range(NPH):
-                is_max = acts[idx] == m
-                if taken is None:
-                    sel = is_max
-                    taken = is_max
-                else:
-                    sel = jnp.logical_and(is_max, jnp.logical_not(taken))
-                    taken = jnp.logical_or(taken, is_max)
-                neg = conv4[idx * c : (idx + 1) * c] < 0
-                code = jnp.where(sel, idx + NPH * neg.astype(jnp.int32), code)
+            i01 = acts[1] > acts[0]
+            i23 = acts[3] > acts[2]
+            hi = m23 > m01
+            idx_lo = i01.astype(jnp.int32)
+            idx_hi = 2 + i23.astype(jnp.int32)
+            code = jnp.where(hi, idx_hi, idx_lo)
+            pres = [conv4[idx * c : (idx + 1) * c] for idx in range(NPH)]
+            pre_sel = jnp.where(
+                hi,
+                jnp.where(i23, pres[3], pres[2]),
+                jnp.where(i01, pres[1], pres[0]),
+            )
+            code = code + NPH * (pre_sel < 0).astype(jnp.int32)
             sel_ref[0, r] = code.astype(jnp.int8)
         if emit_stats:
-            rounded = stored.astype(jnp.float32)
+            rounded = m.astype(out_ref.dtype).astype(jnp.float32)
             s_acc = s_acc + jnp.sum(rounded, axis=1, keepdims=True)
             q_acc = q_acc + jnp.sum(
                 jax.lax.square(rounded), axis=1, keepdims=True
@@ -648,22 +656,25 @@ def _fwd_mfm_kernel(
         h = hb * rows + r
         conv4, _ = _conv4_row(p_ref, w4, b4, h, w2, dot_dtype, ntap=NTAP_MFM)
         cands = _mfm_cands(conv4, c_half)
-        m = cands[0]
-        for cand in cands[1:]:
-            m = jnp.maximum(m, cand)
+        # pairwise-tournament max with index tracking (strict > keeps the
+        # first-match tie-break: ties pick the lower index) — ~20 VPU ops
+        # vs ~30 for the 8-way equality scan; the kernel is
+        # VPU-throughput-bound, not MXU-bound
+        m1 = [jnp.maximum(cands[2 * j], cands[2 * j + 1]) for j in range(4)]
+        m2a = jnp.maximum(m1[0], m1[1])
+        m2b = jnp.maximum(m1[2], m1[3])
+        m = jnp.maximum(m2a, m2b)
         out_ref[0, r] = m.astype(out_ref.dtype)
         if emit_sel:
-            code = jnp.zeros((c_half, w2), jnp.int32)
-            taken = None
-            for idx, cand in enumerate(cands):
-                is_max = cand == m
-                if taken is None:
-                    sel = is_max
-                    taken = is_max
-                else:
-                    sel = jnp.logical_and(is_max, jnp.logical_not(taken))
-                    taken = jnp.logical_or(taken, is_max)
-                code = jnp.where(sel, idx, code)
+            i1 = [
+                (cands[2 * j + 1] > cands[2 * j]).astype(jnp.int32)
+                for j in range(4)
+            ]
+            hi_a = m1[1] > m1[0]
+            hi_b = m1[3] > m1[2]
+            idx_a = jnp.where(hi_a, 2 + i1[1], i1[0])
+            idx_b = jnp.where(hi_b, 6 + i1[3], 4 + i1[2])
+            code = jnp.where(m2b > m2a, idx_b, idx_a)
             sel_ref[0, r] = code.astype(jnp.int8)
 
 

@@ -172,26 +172,26 @@ def _fwd_kernel(
             for b in range(2):
                 pre.append(c2[:, b, :])
                 act.append(p2[:, b, :])
-        m = jnp.maximum(
-            jnp.maximum(act[0], act[1]), jnp.maximum(act[2], act[3])
-        )
+        # pairwise max with index tracking (strict > keeps the first-match
+        # tie-break); see ops/fused_conv1.py
+        m01 = jnp.maximum(act[0], act[1])
+        m23 = jnp.maximum(act[2], act[3])
+        m = jnp.maximum(m01, m23)
         stored = m.astype(out_ref.dtype)
         out_ref[0, r] = stored
         if emit_sel:
-            code = jnp.zeros((w2, c_out), jnp.int32)
-            taken = None
-            for idx in range(NPOS):
-                is_max = act[idx] == m
-                if taken is None:
-                    sel = is_max
-                    taken = is_max
-                else:
-                    sel = jnp.logical_and(is_max, jnp.logical_not(taken))
-                    taken = jnp.logical_or(taken, is_max)
-                neg = pre[idx] < 0
-                code = jnp.where(
-                    sel, idx + NPOS * neg.astype(jnp.int32), code
-                )
+            i01 = act[1] > act[0]
+            i23 = act[3] > act[2]
+            hi = m23 > m01
+            code = jnp.where(
+                hi, 2 + i23.astype(jnp.int32), i01.astype(jnp.int32)
+            )
+            pre_sel = jnp.where(
+                hi,
+                jnp.where(i23, pre[3], pre[2]),
+                jnp.where(i01, pre[1], pre[0]),
+            )
+            code = code + NPOS * (pre_sel < 0).astype(jnp.int32)
             sel_ref[0, r] = code.astype(jnp.int8)
         if emit_stats:
             rounded = stored.astype(jnp.float32)
