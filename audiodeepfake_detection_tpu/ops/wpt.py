@@ -178,6 +178,7 @@ def packet_image(
     block_norm: bool = False,
     block_norm_scale: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
+    precision: Optional[jax.lax.Precision] = None,
 ) -> jnp.ndarray:
     """Packet time-frequency image, matching the reference ``Packets`` module.
 
@@ -194,6 +195,9 @@ def packet_image(
             composition; replicated as-is).
         block_norm_scale: optional precomputed per-node scale ``[2**level]``
             applied as ``packets / scale`` (batch-independent alternative).
+        precision: matmul precision for the Pallas kernel's banded dots
+            (None -> HIGHEST, the fp32-exact parity contract; speed mode
+            passes ``Precision.DEFAULT`` = one bf16 MXU pass).
 
     Returns:
         ``[B, C, 2**level, n_level]`` with C = 2 if ``loss_less`` else 1,
@@ -205,11 +209,16 @@ def packet_image(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        # fused MXU kernel (4x the XLA cascade on v5e); log applied below so
+        # fused MXU kernel (~40x the XLA cascade on v5e); log applied below so
         # block_norm / sign extraction see raw coefficients
         from .wpt_pallas import wpt_packets_pallas
 
-        wp = wpt_packets_pallas(audio, wavelet_name, level)
+        wp = wpt_packets_pallas(
+            audio,
+            wavelet_name,
+            level,
+            precision=precision or jax.lax.Precision.HIGHEST,
+        )
     else:
         wp = wpt_analysis(audio, wavelet_name, level)  # [B, 2**l, n_l]
     if block_norm:

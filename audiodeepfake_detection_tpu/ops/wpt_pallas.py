@@ -140,28 +140,82 @@ def _build_plan(wavelet_name: str, t: int, level: int):
     return lengths, padded, schedules, mats, width_global
 
 
+def _group_schedule(sched, rows):
+    """Batch consecutive same-matrix chunks into groups of <= 128//rows.
+
+    Early levels have few buffer rows (b_tile * 2**lvl = 16..64 for the
+    training config), so a per-chunk dot runs the MXU at 12-50% M
+    utilization.  All mid chunks of a level share one banded matrix, so up
+    to ``128 // rows`` of them can stack along sublanes into ONE full-M
+    dot (measured: the kernel is dominated by these underfilled early
+    levels).  Edge chunks have dedicated matrices and stay single.
+    """
+    cap = max(1, _CHUNK // rows)
+    groups = []
+    cur = []
+    for c, (ws, mi) in enumerate(sched):
+        if cur and (mi != cur[0][2] or len(cur) == cap):
+            groups.append(cur)
+            cur = []
+        cur.append((c, ws, mi))
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _wpt_kernel_factory(level, lengths, padded, schedules, width, b_tile,
-                        log_scale, power):
+                        log_scale, power, precision):
     def kernel(x_ref, mats_ref, out_ref, *scratch):
-        bufs = list(scratch) + [out_ref]
-        # zero-fill so padding lanes never contribute NaNs
-        for buf in bufs:
-            buf[...] = jnp.zeros_like(buf)
+        stack_ref = scratch[-1]
+        bufs = list(scratch[:-1]) + [out_ref]
+        # zero only the regions the level writes never cover: the chunk
+        # writes fill all rows and all chunk columns (matrix columns past
+        # n_out are structurally zero), so just the window-padding tail
+        # lanes need clearing (a full-buffer zero-fill measured ~13 MB of
+        # pure VPU writes per tile)
+        for lvl, buf in enumerate(bufs):
+            if lvl == 0:
+                if padded[0] > lengths[0]:
+                    buf[:, lengths[0] :] = jnp.zeros(
+                        (buf.shape[0], padded[0] - lengths[0]), jnp.float32
+                    )
+            else:
+                covered = len(schedules[lvl - 1]) * _CHUNK
+                if padded[lvl] > covered:
+                    buf[:, covered:] = jnp.zeros(
+                        (buf.shape[0], padded[lvl] - covered), jnp.float32
+                    )
         bufs[0][:, : lengths[0]] = x_ref[...]
         for lvl in range(level):
             src = bufs[lvl]
             dst = bufs[lvl + 1]
             rows = b_tile * (2**lvl)
-            for c, (w_start, m_idx) in enumerate(schedules[lvl]):
-                window = src[:, w_start : w_start + width]
+            for grp in _group_schedule(schedules[lvl], rows):
+                if len(grp) == 1:
+                    _, w_start, m_idx = grp[0]
+                    window = src[:, w_start : w_start + width]
+                else:
+                    # stack same-matrix windows along sublanes -> full-M dot
+                    for gi, (_, ws, _) in enumerate(grp):
+                        stack_ref[gi * rows : (gi + 1) * rows, :] = src[
+                            :, ws : ws + width
+                        ]
+                    m_idx = grp[0][2]
+                    window = stack_ref[0 : len(grp) * rows, :]
                 y = jnp.dot(
                     window,
                     mats_ref[m_idx],
                     preferred_element_type=jnp.float32,
+                    # Mosaic's default f32 matmul runs the MXU in one bf16
+                    # pass (~1% relative error measured on v5e); the
+                    # multi-pass precisions restore the fp32-exact contract
+                    precision=precision,
                 )
-                col = _CHUNK * c
-                dst[0:rows, col : col + _CHUNK] = y[:, :_CHUNK]
-                dst[rows : 2 * rows, col : col + _CHUNK] = y[:, _CHUNK:]
+                for gi, (c, _, _) in enumerate(grp):
+                    col = _CHUNK * c
+                    ys = y[gi * rows : (gi + 1) * rows]
+                    dst[0:rows, col : col + _CHUNK] = ys[:, :_CHUNK]
+                    dst[rows : 2 * rows, col : col + _CHUNK] = ys[:, _CHUNK:]
         if log_scale:
             out_ref[...] = jnp.log(
                 jnp.abs(out_ref[...]) ** power + 1e-12
@@ -189,7 +243,9 @@ def pallas_node_permutation(level: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wavelet_name", "level", "log_scale", "power", "b_tile"),
+    static_argnames=(
+        "wavelet_name", "level", "log_scale", "power", "b_tile", "precision",
+    ),
 )
 def wpt_packets_pallas(
     x: jnp.ndarray,
@@ -198,6 +254,7 @@ def wpt_packets_pallas(
     log_scale: bool = False,
     power: float = 2.0,
     b_tile: int = 16,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Fused WPT: ``[B, T] -> [B, 2**level, n_level]`` (freq order).
 
@@ -217,8 +274,12 @@ def wpt_packets_pallas(
         pltpu.VMEM((b_tile * (2**lvl), padded[lvl]), jnp.float32)
         for lvl in range(level)
     ]
+    # sublane-stacking buffer for grouped same-matrix dots (see
+    # _group_schedule): holds up to 128 rows of window data
+    scratch.append(pltpu.VMEM((_CHUNK, width), jnp.float32))
     kernel = _wpt_kernel_factory(
-        level, lengths, padded, schedules, width, b_tile, log_scale, power
+        level, lengths, padded, schedules, width, b_tile, log_scale, power,
+        precision,
     )
     grid = (x.shape[0] // b_tile,)
     # off-TPU (tests, CPU dev) run the kernel in interpreter mode
@@ -242,6 +303,11 @@ def wpt_packets_pallas(
             (x.shape[0] * (2**level), padded[level]), jnp.float32
         ),
         scratch_shapes=scratch,
+        # the level buffers + matrices sit right at Mosaic's 16 MB default
+        # scoped-VMEM budget for the training config (b_tile=16, 1 s
+        # audio); the sublane-stacking scratch tips it over.  v5e has
+        # 128 MB VMEM per core — raise the cap instead of shrinking tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(x, jnp.asarray(mats))
     # out rows: [tile, node_block(bitrev-order), sample] -> [B, nodes, n]
     tiles = x.shape[0] // b_tile

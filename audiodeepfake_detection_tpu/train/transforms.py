@@ -20,6 +20,7 @@ import os
 import pickle
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,13 @@ def make_transform(args: DotDict) -> TransformFn:
 
     elif args.transform == "packets":
         level = int(math.log2(args.num_of_scales))
+        # speed mode (config dtype: bfloat16) runs the Pallas WPT's banded
+        # dots in one bf16 MXU pass; the default stays fp32-exact (HIGHEST)
+        wpt_precision = (
+            jax.lax.Precision.DEFAULT
+            if str(args.dtype) == "bfloat16"
+            else None
+        )
 
         def base(audio: jnp.ndarray) -> jnp.ndarray:
             return packet_image(
@@ -72,6 +80,7 @@ def make_transform(args: DotDict) -> TransformFn:
                 loss_less=loss_less,
                 power=args.power,
                 block_norm=bool(args.block_norm),
+                precision=wpt_precision,
             )
 
     else:

@@ -55,7 +55,11 @@ def measure_tpu() -> float:
     )
 
     def transform(audio):
-        return packet_image(audio, WAVELET, level=LEVEL, log_scale=True, power=2.0)
+        # speed-mode bench: one bf16 MXU pass in the WPT's banded dots
+        return packet_image(
+            audio, WAVELET, level=LEVEL, log_scale=True, power=2.0,
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
     tx = make_optimizer(4e-4, 1e-3)
     rng = np.random.RandomState(0)
@@ -140,7 +144,8 @@ def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
 
         def transform(audio):
             return packet_image(
-                audio, WAVELET, level=LEVEL, log_scale=True, power=2.0
+                audio, WAVELET, level=LEVEL, log_scale=True, power=2.0,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         tx = make_optimizer(4e-4, 1e-3)

@@ -49,8 +49,12 @@ class TestAnalysisCLI:
         main(["energy", "--data-dir", os.path.dirname(wav_file), "--out", out])
         assert os.path.exists(out + "_energy.npy")
         assert os.path.exists(out + "_pitch.npy")
+        # corpus-wide format: one (mean, std) row per clip
         pitch = np.load(out + "_pitch.npy")
-        assert abs(np.median(pitch) - 440.0) < 10
+        assert pitch.shape == (1, 2)
+        assert abs(pitch[0, 0] - 440.0) < 10
+        cent = np.load(out + "_centroid.npy")
+        assert cent.shape == (1,)
 
     def test_fingerprints_command(self, tmp_path, wav_file):
         from audiodeepfake_detection_tpu.analysis.cli import main
