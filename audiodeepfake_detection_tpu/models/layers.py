@@ -294,6 +294,11 @@ class BLSTMLayer(nn.Module):
 
     input_dim: int
     output_dim: int
+    # lax.scan unroll factor: K steps per loop iteration trades compiled
+    # code size for less while-loop overhead (the scan is latency-bound —
+    # the per-step recurrent matmul is tiny).  Measured on v5e (see
+    # docs/benchmarks.md "LCNN scan unrolling").
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -344,7 +349,9 @@ class BLSTMLayer(nn.Module):
             jnp.zeros((2, b, hidden), xp.dtype),
             jnp.zeros((2, b, hidden), xp.dtype),
         )
-        _, hs = jax.lax.scan(step, init, jnp.moveaxis(xp, 2, 0))  # [T, 2, B, H]
+        _, hs = jax.lax.scan(
+            step, init, jnp.moveaxis(xp, 2, 0), unroll=self.unroll
+        )  # [T, 2, B, H]
         fw = jnp.moveaxis(hs[:, 0], 0, 1)  # [B, T, H]
         bw = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fw, bw], axis=-1)

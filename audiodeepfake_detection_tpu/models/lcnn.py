@@ -39,6 +39,8 @@ class LCNN(nn.Module):
     fused_layer1: Any = False
     # Device mesh for SPMD (see models/dcnn.py::DCNN.mesh).
     mesh: Any = None
+    # BLSTM lax.scan unroll factor (see layers.BLSTMLayer.unroll).
+    lstm_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -140,8 +142,8 @@ class LCNN(nn.Module):
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, -1)
 
         feat = (self.lstm_channels // 16) * 32
-        x = BLSTMLayer(feat, feat, name="lstm_0")(x)
-        x = BLSTMLayer(feat, feat, name="lstm_1")(x)
+        x = BLSTMLayer(feat, feat, unroll=self.lstm_unroll, name="lstm_0")(x)
+        x = BLSTMLayer(feat, feat, unroll=self.lstm_unroll, name="lstm_1")(x)
         x = nn.Dense(self.classes, name="fc", dtype=self.dtype)(x)
         return jnp.mean(x, axis=1).astype(jnp.float32)
 

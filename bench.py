@@ -139,7 +139,10 @@ def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
         )
 
         model = DCNN(
-            time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
+            time_dim=12,
+            precision=jax.lax.Precision.DEFAULT,
+            dtype=jnp.bfloat16,
+            fused_layer1=True,  # the headline speed configuration
         )
 
         def transform(audio):

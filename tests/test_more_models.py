@@ -441,3 +441,19 @@ class TestASTExportRoundtrip:
         a = np.asarray(model.apply(variables, x, train=False))
         b = np.asarray(model.apply(back, x, train=False))
         np.testing.assert_array_equal(a, b)
+
+
+class TestBLSTMUnroll:
+    def test_unroll_matches_default(self):
+        """lax.scan unroll is a scheduling knob, not a math change."""
+        from audiodeepfake_detection_tpu.models.layers import BLSTMLayer
+
+        x = np.random.RandomState(0).randn(3, 13, 16).astype(np.float32)
+        base = BLSTMLayer(16, 16)
+        variables = base.init(jax.random.key(0), x)
+        want = np.asarray(base.apply(variables, x))
+        for unroll in (2, 4, True):
+            got = np.asarray(
+                BLSTMLayer(16, 16, unroll=unroll).apply(variables, x)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
