@@ -159,9 +159,11 @@ def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
         g = max(1, steps_per_call)
         if g > 1:
             step = make_multi_train_step(model, transform, tx)
+            single = make_train_step(model, transform, tx)
 
             def run_epoch(epoch, state):
                 n, buf = 0, []
+                stats = None
                 for batch in loader.epoch(epoch):
                     buf.append(batch)
                     if len(buf) == g:
@@ -169,6 +171,12 @@ def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
                         state, stats = step(state, group)
                         n += g * BATCH
                         buf.clear()
+                # remainder: single steps, like the trainer (previously the
+                # tail batches were decoded inside the timed window but
+                # never dispatched or counted)
+                for batch in buf:
+                    state, stats = single(state, shard_batch(mesh, batch))
+                    n += BATCH
                 return state, stats, n
         else:
             step = make_train_step(model, transform, tx)
