@@ -36,8 +36,17 @@ def score_files(
     seconds: float = 1.0,
     batch_size: int = 128,
     aggregate: str = "mean",
+    self_norm: bool = False,
 ) -> Dict[str, float]:
-    """Per-file fake probability, aggregated over 1 s frames."""
+    """Per-file fake probability, aggregated over 1 s frames.
+
+    ``self_norm`` estimates the per-channel normalization mean/std from the
+    scored frames themselves (one extra transform pass) — an approximation
+    of the training-corpus Welford stats for when the ``*_mean_std.pkl``
+    is unavailable (e.g. the bundled reference checkpoints, which ship
+    without stats; un-normalized log-packet inputs sit far outside the
+    trained input distribution and saturate the classifier).
+    """
     from ..data.wavio import audio_read
     from ..ops.audio import resample
 
@@ -60,6 +69,19 @@ def score_files(
     if not frames:
         return {}
 
+    if self_norm:
+        from .transforms import compute_normalization, normalized_transform
+
+        def _batches():
+            for start in range(0, len(frames), batch_size):
+                yield np.stack(frames[start : start + batch_size])[:, None, :]
+
+        probe = np.asarray(
+            transform(jnp.asarray(frames[0][None, None, :]))
+        )
+        mean, std = compute_normalization(transform, _batches(), probe.shape[1])
+        transform = normalized_transform(transform, mean, std)
+
     score = make_score_fn(model, transform, variables)
     scores = np.zeros(len(frames), np.float32)
     for start in range(0, len(frames), batch_size):
@@ -79,3 +101,181 @@ def score_files(
         paths[fi]: float(agg(scores[owners_arr == fi]))
         for fi in np.unique(owners_arr)
     }
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def build_scorer_from_snapshot(
+    snapshot: str,
+    norm: "str | None" = None,
+    mean=None,
+    std=None,
+    log_scale: bool = True,
+    expect_self_norm: bool = False,
+):
+    """Rebuild (model, normalized transform, variables, cfg) from a snapshot.
+
+    The snapshot filename encodes the experiment configuration (the
+    reference's checkpoint-registry scheme, train_classifier.py:1221-1269;
+    decoded by ``utils.naming.parse_model_file``); geometry that is NOT in
+    the name — ``time_dim`` and ``flattend_size`` — is recovered from the
+    imported tensors themselves.  ``norm`` names the ``*_mean_std.pkl``
+    written at training time; without it (the bundled checkpoints ship
+    none) scoring runs UN-normalized, which shifts probabilities — fine for
+    ranking, not for threshold parity.
+    """
+    import pickle
+    import warnings
+
+    from ..models.dcnn import DCNN
+    from ..models.factory import get_model
+    from ..models.torch_import import (
+        import_dcnn,
+        import_lcnn,
+        load_torch_state_dict,
+    )
+    from ..utils.config import default_config
+    from ..utils.naming import parse_model_file
+    from .transforms import make_transform, normalized_transform
+
+    cfg = default_config()
+    cfg.update(parse_model_file(snapshot))
+    cfg.log_scale = log_scale
+    base = make_transform(cfg)
+
+    if norm is not None:
+        with open(norm, "rb") as fh:
+            mean, std = pickle.load(fh)
+    if mean is not None and std is not None:
+        transform = normalized_transform(
+            base,
+            np.asarray(mean, np.float32),
+            np.asarray(std, np.float32),
+        )
+    else:
+        if not expect_self_norm:
+            warnings.warn(
+                "no normalization stats (--norm/--mean/--std/--self-norm): "
+                "scoring un-normalized inputs; probabilities will be shifted "
+                "vs the training-time pipeline"
+            )
+        transform = base
+
+    state = load_torch_state_dict(snapshot)
+    name = cfg.model_name
+    if name == "LCNN":
+        variables = import_lcnn(state)
+        model = get_model(cfg, "lcnn")
+    elif name.startswith("DCNN"):
+        variables = import_dcnn(state)
+        kw = {}
+        if cfg.loss_less == "True":
+            kw["in_channels"] = 2  # sign channel (reference wavelet_math.py:212)
+        if "dil_1" in variables["params"]:
+            kw["time_dim"] = int(
+                variables["params"]["dil_1"]["Conv_0"]["kernel"].shape[2]
+            )
+        else:
+            kw["with_dilation"] = False
+        kw["flattend_size"] = int(
+            variables["params"]["fc_1"]["kernel"].shape[0]
+        )
+        if name == "DCNNxDropout":
+            kw["with_dropout"] = False
+        model = DCNN(**kw)
+    else:
+        raise ValueError(
+            f"snapshot model {name!r} has no standalone-scoring support "
+            "(DCNN family and LCNN checkpoints are)"
+        )
+    return model, transform, variables, cfg
+
+
+def _expand_inputs(inputs) -> list:
+    """Audio files from a mix of file and directory arguments."""
+    import os
+
+    exts = (".wav", ".flac")
+    out = []
+    for item in inputs:
+        if os.path.isdir(item):
+            out += sorted(
+                os.path.join(item, f)
+                for f in os.listdir(item)
+                if f.lower().endswith(exts)
+            )
+        else:
+            out.append(item)
+    return out
+
+
+def main(argv=None) -> None:
+    """Score audio files with a trained snapshot: ``P(fake)`` per file.
+
+    Serving entry the reference lacks (its closest mode is
+    ``--only-testing`` over a prepared dataset); here any wav/flac file or
+    directory is scored directly from a config-encoded snapshot.
+    """
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(
+        description="Score audio files with a trained deepfake detector"
+    )
+    parser.add_argument("snapshot", help=".pt snapshot (config-encoded name)")
+    parser.add_argument("inputs", nargs="+", help="audio files or directories")
+    parser.add_argument(
+        "--norm", default=None, help="*_mean_std.pkl from training"
+    )
+    parser.add_argument("--mean", type=float, nargs="+", default=None)
+    parser.add_argument("--std", type=float, nargs="+", default=None)
+    parser.add_argument(
+        "--aggregate", choices=["mean", "max"], default="mean",
+        help="frame-score aggregation per file",
+    )
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument(
+        "--no-log-scale", action="store_true",
+        help="snapshot was trained without log scaling (not filename-encoded)",
+    )
+    parser.add_argument(
+        "--self-norm", action="store_true",
+        help="estimate normalization stats from the scored files "
+        "(approximation for snapshots without a *_mean_std.pkl)",
+    )
+    parser.add_argument("--json", action="store_true", dest="as_json")
+    args = parser.parse_args(argv)
+
+    model, transform, variables, cfg = build_scorer_from_snapshot(
+        args.snapshot,
+        norm=args.norm,
+        mean=args.mean,
+        std=args.std,
+        log_scale=not args.no_log_scale,
+        expect_self_norm=args.self_norm,
+    )
+    paths = _expand_inputs(args.inputs)
+    scores = score_files(
+        model,
+        transform,
+        variables,
+        paths,
+        sample_rate=int(cfg.sample_rate),
+        seconds=float(cfg.seconds),
+        batch_size=args.batch_size,
+        aggregate=args.aggregate,
+        self_norm=args.self_norm,
+    )
+    if args.as_json:
+        print(json.dumps(scores, indent=2, sort_keys=True))
+    else:
+        for path in paths:
+            if path in scores:
+                print(f"{scores[path]:.4f}\t{path}")
+            else:
+                print(f"(shorter than {cfg.seconds}s, skipped)\t{path}")
+
+
+if __name__ == "__main__":
+    main()

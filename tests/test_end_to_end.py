@@ -346,3 +346,92 @@ class TestASTDriver:
         args3.only_testing = True
         trainer2 = run_experiment(args3)
         assert len(trainer2.test_results) == 4
+
+
+class TestPredictCLI:
+    """Standalone scoring CLI over the bundled reference checkpoints."""
+
+    SNAP = "/root/reference/models"
+    SAMPLES = "/root/reference/audio-samples/classification_examples"
+
+    def test_parse_model_file_roundtrip(self):
+        from audiodeepfake_detection_tpu.utils.naming import (
+            experiment_model_file,
+            parse_model_file,
+        )
+
+        a = default_config()
+        a.update(
+            data_prefix="x/fake_22050_22050_0.7_fbmelgan",
+            transform="packets",
+            wavelet="sym5",
+            hop_length=220,
+            window_size=22050,
+            num_of_scales=256,
+            f_min=1.0,
+            f_max=11025.0,
+            only_use=["real", "fbmelgan"],
+            seconds=1,
+            seed=3,
+            epochs=10,
+        )
+        path = experiment_model_file(a, "/tmp", "DCNN") + ".pt"
+        cfg = parse_model_file(path)
+        for key in (
+            "transform", "wavelet", "hop_length", "sample_rate",
+            "num_of_scales", "f_min", "f_max", "learning_rate",
+            "weight_decay", "batch_size", "nclasses", "epochs", "power",
+            "seed",
+        ):
+            assert cfg[key] == a[key], key
+        assert cfg.model_name == "DCNN"
+        assert cfg.seconds == float(a.seconds)
+        assert cfg.generator == "fbmelgan"
+
+    def test_score_bundled_checkpoint_on_samples(self, capsys):
+        import glob as _glob
+
+        paths = _glob.glob(f"{self.SNAP}/model_stft_*.pt")
+        wavs = sorted(_glob.glob(f"{self.SAMPLES}/*.wav"))[:2]
+        if not paths or not wavs:
+            pytest.skip("bundled reference artifacts unavailable")
+        from audiodeepfake_detection_tpu.train.predict import main
+
+        main([paths[0], *wavs, "--batch-size", "8"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == len(wavs)
+        for line, wav in zip(out, wavs):
+            score, path = line.split("\t")
+            assert path == wav
+            assert 0.0 <= float(score) <= 1.0
+
+    def test_bundled_checkpoint_discriminates_real_data(self):
+        """Real-data validation: the imported reference sym5 checkpoint,
+        fed through OUR WPT + self-estimated normalization, separates the
+        bundled real LJSpeech clip from actual GAN-generated clips
+        (melgan/mbmelgan cross-generators).  The closest real-corpus
+        check possible without the LJSpeech/WaveFake corpus in-image."""
+        import glob as _glob
+
+        snaps = _glob.glob(f"{self.SNAP}/model_packetssym5_*.pt")
+        real = sorted(_glob.glob("/root/reference/tests/data/real/*.wav"))
+        fake = sorted(_glob.glob(f"{self.SAMPLES}/[BD]_*.wav"))[:3]
+        if not snaps or not real or not fake:
+            pytest.skip("bundled reference artifacts unavailable")
+        from audiodeepfake_detection_tpu.train.predict import (
+            build_scorer_from_snapshot,
+            score_files,
+        )
+
+        model, transform, variables, cfg = build_scorer_from_snapshot(
+            snaps[0], expect_self_norm=True
+        )
+        scores = score_files(
+            model, transform, variables, real + fake,
+            sample_rate=int(cfg.sample_rate), seconds=float(cfg.seconds),
+            batch_size=16, self_norm=True,
+        )
+        for p in real:
+            assert scores[p] < 0.5, (p, scores[p])
+        for p in fake:
+            assert scores[p] > 0.5, (p, scores[p])
