@@ -49,7 +49,14 @@ def headline_setup(fused: bool = True, batch: int = B, fused2: bool = False):
     )
 
     def transform(audio):
-        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
+        # Match bench.py's speed mode: DEFAULT = one bf16 MXU pass in the
+        # WPT's banded dots. Without this the profile shows the HIGHEST
+        # (multi-pass fp32) parity kernel at ~0.7 ms/step instead of the
+        # configuration the headline number actually runs.
+        return packet_image(
+            audio, "sym5", level=8, log_scale=True, power=2.0,
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
     tx = make_optimizer(4e-4, 1e-3)
     rng = np.random.RandomState(0)
@@ -114,7 +121,11 @@ def main() -> None:
     from audiodeepfake_detection_tpu.ops.wpt import packet_image
 
     def wpt_transform(audio):
-        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
+        # speed mode, same as bench.py (see headline_setup)
+        return packet_image(
+            audio, "sym5", level=8, log_scale=True, power=2.0,
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
     def stft_transform(audio):
         return spectrogram(
