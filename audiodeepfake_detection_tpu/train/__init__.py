@@ -5,6 +5,7 @@ from .metrics import (  # noqa: F401
     calculate_acc_label,
     calculate_eer,
 )
+from .export import export_scorer, load_artifact, save_artifact  # noqa: F401
 from .predict import make_score_fn, score_files  # noqa: F401
 from .results import print_paper_tables, print_results  # noqa: F401
 from .steps import (  # noqa: F401

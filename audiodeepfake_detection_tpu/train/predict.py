@@ -15,13 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_score_fn(model, transform: Callable, variables) -> Callable:
-    """Jitted ``[B, 1, T] audio -> [B] P(fake)``."""
+def make_score_fn(
+    model, transform: Callable, variables, output: str = "prob"
+) -> Callable:
+    """Jitted ``[B, 1, T] audio -> [B]`` scorer.
+
+    ``output``: ``"prob"`` = ``P(fake)`` (softmax); ``"margin"`` = the raw
+    fake-real logit margin — monotone in ``P(fake)`` but unsaturated, so
+    rank comparisons stay meaningful when approximate normalization
+    pushes the softmax to 0/1.
+    """
 
     @jax.jit
     def score(audio: jnp.ndarray) -> jnp.ndarray:
         image = transform(audio)
         logits = model.apply(variables, image, train=False)
+        if output == "margin":
+            return logits[:, 1] - logits[:, 0]
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
     return score
@@ -37,8 +47,9 @@ def score_files(
     batch_size: int = 128,
     aggregate: str = "mean",
     self_norm: bool = False,
+    output: str = "prob",
 ) -> Dict[str, float]:
-    """Per-file fake probability, aggregated over 1 s frames.
+    """Per-file fake probability (or logit margin), aggregated over frames.
 
     ``self_norm`` estimates the per-channel normalization mean/std from the
     scored frames themselves (one extra transform pass) — an approximation
@@ -82,7 +93,7 @@ def score_files(
         mean, std = compute_normalization(transform, _batches(), probe.shape[1])
         transform = normalized_transform(transform, mean, std)
 
-    score = make_score_fn(model, transform, variables)
+    score = make_score_fn(model, transform, variables, output=output)
     scores = np.zeros(len(frames), np.float32)
     for start in range(0, len(frames), batch_size):
         chunk = frames[start : start + batch_size]
@@ -113,6 +124,7 @@ def build_scorer_from_snapshot(
     std=None,
     log_scale: bool = True,
     expect_self_norm: bool = False,
+    use_pallas: "bool | None" = None,
 ):
     """Rebuild (model, normalized transform, variables, cfg) from a snapshot.
 
@@ -142,7 +154,7 @@ def build_scorer_from_snapshot(
     cfg = default_config()
     cfg.update(parse_model_file(snapshot))
     cfg.log_scale = log_scale
-    base = make_transform(cfg)
+    base = make_transform(cfg, use_pallas=use_pallas)
 
     if norm is not None:
         with open(norm, "rb") as fh:

@@ -39,8 +39,15 @@ from ..utils.naming import norm_cache_prefix
 TransformFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 
-def make_transform(args: DotDict) -> TransformFn:
-    """Build the time-frequency transform: ``[B, 1, T] -> [B, C, F, T']``."""
+def make_transform(args: DotDict, use_pallas: "bool | None" = None) -> TransformFn:
+    """Build the time-frequency transform: ``[B, 1, T] -> [B, C, F, T']``.
+
+    ``use_pallas`` forces the WPT implementation (None = backend default:
+    the fused Mosaic kernel on TPU, the XLA conv cascade elsewhere).
+    ``False`` is required for portable / symbolic-batch ``jax.export``
+    artifacts: the Mosaic custom call only lowers on TPU and its grid
+    needs a concrete batch (see train/export.py).
+    """
     features = args.features or "none"
     log_scale = features == "none" and args.log_scale
     loss_less = args.loss_less == "True" or args.loss_less is True
@@ -80,6 +87,7 @@ def make_transform(args: DotDict) -> TransformFn:
                 loss_less=loss_less,
                 power=args.power,
                 block_norm=bool(args.block_norm),
+                use_pallas=use_pallas,
                 precision=wpt_precision,
             )
 
