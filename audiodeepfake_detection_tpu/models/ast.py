@@ -124,8 +124,13 @@ class ASTModel(nn.Module):
     dtype: Any = None
     precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self) -> None:
+        # setup-style (not @nn.compact) so the three phases — embed /
+        # encode / classify — are separately apply-able: the pipeline-
+        # parallel runtime (parallel/pipeline.py) runs embed+classify
+        # replicated and circulates only the encoder blocks across stages.
+        # Param names match the previous compact layout exactly (the
+        # timm importer and TP layouts key on them).
         prec = (
             jax.lax.Precision.HIGHEST
             if self.precision is None
@@ -136,12 +141,9 @@ class ASTModel(nn.Module):
         f_dim, t_dim = ast_patch_grid(
             self.fstride, self.tstride, self.input_fdim, self.input_tdim
         )
-        num_patches = f_dim * t_dim
-        b = x.shape[0]
-
-        # [B, 1, F, T] -> NHWC, conv patch embed with overlap stride
-        h = jnp.transpose(x, (0, 2, 3, 1))
-        h = nn.Conv(
+        self._num_patches = f_dim * t_dim
+        self._embed_dim = d
+        self.patch_proj = nn.Conv(
             d,
             kernel_size=(16, 16),
             strides=(self.fstride, self.tstride),
@@ -149,43 +151,77 @@ class ASTModel(nn.Module):
             name="patch_proj",
             dtype=self.dtype,
             precision=prec,
-        )(h)
-        h = h.reshape(b, num_patches, d)
-
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
-        dist = self.param("dist_token", nn.initializers.zeros, (1, 1, d))
-        pos = self.param(
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, d)
+        )
+        self.dist_token = self.param(
+            "dist_token", nn.initializers.zeros, (1, 1, d)
+        )
+        self.pos_embed = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
-            (1, num_patches + 2, d),
+            (1, self._num_patches + 2, d),
         )
-        h = jnp.concatenate(
-            [jnp.tile(cls, (b, 1, 1)), jnp.tile(dist, (b, 1, 1)), h], axis=1
-        )
-        h = h + pos
-        # reference forward applies the backbone's pos_drop here
-        # (models.py:690; timm drop_rate, 0 by default)
-        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        self.pos_drop = nn.Dropout(self.drop_rate)
         # stochastic depth scales linearly over depth, the timm rule
-        for i in range(cfg["depth"]):
-            dp = self.drop_path_rate * i / max(cfg["depth"] - 1, 1)
-            h = _Block(
+        self.blocks = [
+            _Block(
                 d,
                 cfg["num_heads"],
                 drop_rate=self.drop_rate,
                 attn_drop_rate=self.attn_drop_rate,
-                drop_path_rate=dp,
+                drop_path_rate=(
+                    self.drop_path_rate * i / max(cfg["depth"] - 1, 1)
+                ),
                 name=f"block_{i}",
                 dtype=self.dtype,
                 precision=self.precision,
-            )(h, train=train)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
-        h = (h[:, 0] + h[:, 1]) / 2.0
+            )
+            for i in range(cfg["depth"])
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         # reference mlp_head LayerNorm is a plain torch nn.LayerNorm —
         # default eps 1e-5, unlike the timm backbone's 1e-6 norms
         # (reference models.py:568-571)
-        h = nn.LayerNorm(epsilon=1e-5, name="head_norm")(h)
-        return nn.Dense(self.label_dim, name="head")(h)
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, name="head_norm")
+        self.head = nn.Dense(self.label_dim, name="head")
+
+    def embed(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """[B, 1, F, T] spectrogram -> [B, num_patches + 2, D] tokens."""
+        b = x.shape[0]
+        # [B, 1, F, T] -> NHWC, conv patch embed with overlap stride
+        h = jnp.transpose(x, (0, 2, 3, 1))
+        h = self.patch_proj(h)
+        h = h.reshape(b, self._num_patches, self._embed_dim)
+        h = jnp.concatenate(
+            [
+                jnp.tile(self.cls_token, (b, 1, 1)),
+                jnp.tile(self.dist_token, (b, 1, 1)),
+                h,
+            ],
+            axis=1,
+        )
+        h = h + self.pos_embed
+        # reference forward applies the backbone's pos_drop here
+        # (models.py:690; timm drop_rate, 0 by default)
+        return self.pos_drop(h, deterministic=not train)
+
+    def encode(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """The DeiT encoder: all transformer blocks in sequence."""
+        for block in self.blocks:
+            h = block(h, train=train)
+        return h
+
+    def classify(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Encoded tokens -> logits (dual-token mean through the head)."""
+        h = self.norm(h)
+        h = (h[:, 0] + h[:, 1]) / 2.0
+        h = self.head_norm(h)
+        return self.head(h)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.classify(self.encode(self.embed(x, train), train))
 
     def get_name(self) -> str:
         return "AST"

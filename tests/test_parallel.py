@@ -305,3 +305,240 @@ class TestTensorParallelAST:
 
         got = np.asarray(fwd(params_tp, x_sharded))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestFSDP:
+    """ZeRO-3-style parameter/optimizer sharding (parallel/fsdp.py).
+
+    The reference has no analogue (DDP replicates everything,
+    train_classifier.py:322); on TPU the sharded layout is pure data
+    placement, so the tests check (a) the spec policy, (b) that the math
+    is identical to replicated DP, (c) that Adam moments actually leave
+    the step sharded.
+    """
+
+    def test_spec_policy(self, eight_devices):
+        from audiodeepfake_detection_tpu.parallel.fsdp import fsdp_specs
+        from jax.sharding import PartitionSpec as P
+
+        mesh = get_mesh()
+        tree = {
+            "big": np.zeros((24, 7), np.float32),    # dim0 divisible by 8
+            "tall": np.zeros((7, 16), np.float32),   # dim1 divisible
+            "odd": np.zeros((7, 9), np.float32),     # nothing divisible
+            "tiny": np.zeros((8,), np.float32),      # under min_bytes
+        }
+        specs = fsdp_specs(tree, mesh, min_bytes=128)
+        assert specs["big"] == P("data", None)
+        assert specs["tall"] == P(None, "data")
+        assert specs["odd"] == P()
+        assert specs["tiny"] == P()
+
+    def _setup(self):
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        model = DCNN(
+            time_dim=1, ochannels1=8, ochannels2=8, ochannels3=16,
+            ochannels4=16, ochannels5=8, with_dropout=False,
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            "audio": rng.randn(16, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 16).astype(np.int32),
+        }
+        img = transform(jnp.asarray(batch["audio"][:2]))
+        return model, transform, batch, img
+
+    def test_fsdp_step_matches_replicated_dp(self, eight_devices):
+        import optax
+
+        from audiodeepfake_detection_tpu.parallel.fsdp import (
+            make_fsdp_train_step,
+            shard_fsdp,
+        )
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_train_step,
+        )
+
+        mesh = get_mesh()
+        model, transform, batch, img = self._setup()
+        tx = optax.sgd(1e-2)  # linear in grads (see fused-dp test note)
+        db = shard_batch(mesh, batch)
+
+        s = create_train_state(model, tx, img, seed=0)
+        s_rep = s._replace(
+            params=replicate(mesh, s.params),
+            batch_stats=replicate(mesh, s.batch_stats),
+            opt_state=replicate(mesh, s.opt_state),
+        )
+        ref_state, ref_stats = make_train_step(model, transform, tx)(
+            s_rep, db
+        )
+
+        s2 = create_train_state(model, tx, img, seed=0)
+        s_fsdp = s2._replace(
+            params=shard_fsdp(s2.params, mesh, min_bytes=0),
+            batch_stats=replicate(mesh, s2.batch_stats),
+            opt_state=shard_fsdp(s2.opt_state, mesh, min_bytes=0),
+        )
+        # the placement itself must shard at least one conv kernel
+        flat = jax.tree_util.tree_leaves(s_fsdp.params)
+        assert any("data" in str(p.sharding.spec) for p in flat)
+
+        fsdp_step = make_fsdp_train_step(
+            model, transform, tx, mesh, min_bytes=0
+        )
+        new_state, stats = fsdp_step(s_fsdp, db)
+
+        np.testing.assert_allclose(
+            float(ref_stats["loss"]), float(stats["loss"]), rtol=1e-5
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
+            ),
+            ref_state.params,
+            new_state.params,
+        )
+        # outputs stay in the sharded layout (no silent re-replication)
+        flat_out = jax.tree_util.tree_leaves(new_state.params)
+        assert any("data" in str(p.sharding.spec) for p in flat_out)
+
+    def test_adam_moments_leave_step_sharded(self, eight_devices):
+        from audiodeepfake_detection_tpu.parallel.fsdp import (
+            make_fsdp_train_step,
+            shard_fsdp,
+        )
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            make_optimizer,
+        )
+
+        mesh = get_mesh()
+        model, transform, batch, img = self._setup()
+        tx = make_optimizer(4e-4, 1e-3)
+        db = shard_batch(mesh, batch)
+
+        s = create_train_state(model, tx, img, seed=0)
+        s = s._replace(
+            params=shard_fsdp(s.params, mesh, min_bytes=0),
+            batch_stats=replicate(mesh, s.batch_stats),
+            opt_state=shard_fsdp(s.opt_state, mesh, min_bytes=0),
+        )
+        step = make_fsdp_train_step(model, transform, tx, mesh, min_bytes=0)
+        new_state, stats = step(s, db)
+        assert np.isfinite(float(stats["loss"]))
+        moment_specs = [
+            str(p.sharding.spec)
+            for p in jax.tree_util.tree_leaves(new_state.opt_state)
+            if getattr(p, "ndim", 0) >= 2
+        ]
+        assert moment_specs and any("data" in sp for sp in moment_specs)
+
+
+class TestPipelineParallelAST:
+    """GPipe-style SPMD pipeline over the AST encoder (parallel/pipeline.py).
+
+    No reference analogue (SURVEY §2c: reference parallelism is DDP only);
+    correctness is therefore locked against our own single-program forward:
+    the pipeline is a pure re-schedule, so outputs and gradients must match
+    the plain sequential encoder to fp32 round-off.
+    """
+
+    def _setup(self):
+        from audiodeepfake_detection_tpu.models.ast import ASTModel
+
+        model = ASTModel(model_size="tiny224", input_fdim=32, input_tdim=32)
+        x = np.random.RandomState(0).randn(8, 1, 32, 32).astype(np.float32)
+        variables = model.init(jax.random.key(0), x)
+        return model, variables, x
+
+    def test_forward_matches_sequential(self, eight_devices):
+        from audiodeepfake_detection_tpu.parallel.pipeline import (
+            pp_ast_logits,
+        )
+
+        model, variables, x = self._setup()
+        want = np.asarray(model.apply(variables, x))
+
+        mesh = get_mesh(axis_names=("data", "stage"), shape=(2, 4))
+
+        @jax.jit
+        def fwd(params, xb):
+            return pp_ast_logits(
+                model, params, xb, mesh, n_microbatches=4, data_axis="data"
+            )
+
+        got = np.asarray(fwd(variables["params"], jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_sequential(self, eight_devices):
+        import optax
+
+        from audiodeepfake_detection_tpu.parallel.pipeline import (
+            pp_ast_logits,
+        )
+
+        model, variables, x = self._setup()
+        labels = jnp.asarray(np.array([0, 1] * 4, np.int32))
+        mesh = get_mesh(axis_names=("data", "stage"), shape=(2, 4))
+
+        def loss_plain(params):
+            out = model.apply({"params": params}, jnp.asarray(x))
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+
+        def loss_pp(params):
+            out = pp_ast_logits(
+                model,
+                params,
+                jnp.asarray(x),
+                mesh,
+                n_microbatches=4,
+                data_axis="data",
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+
+        g_plain = jax.jit(jax.grad(loss_plain))(variables["params"])
+        g_pp = jax.jit(jax.grad(loss_pp))(variables["params"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            g_plain,
+            g_pp,
+        )
+
+    def test_train_step_runs_and_learns(self, eight_devices):
+        from audiodeepfake_detection_tpu.parallel.pipeline import (
+            make_pp_train_step,
+        )
+        from audiodeepfake_detection_tpu.train.steps import make_optimizer
+
+        model, variables, x = self._setup()
+        mesh = get_mesh(axis_names=("data", "stage"), shape=(2, 4))
+        tx = make_optimizer(4e-4, 1e-3)
+        params = variables["params"]
+        state = (params, tx.init(params), jnp.zeros((), jnp.int32))
+        batch = {
+            "image": jnp.asarray(x),
+            "label": jnp.asarray(np.array([0, 1] * 4, np.int32)),
+        }
+        step = make_pp_train_step(
+            model, tx, mesh, n_microbatches=4, data_axis="data"
+        )
+        state, stats = step(state, batch)
+        first = float(stats["loss"])
+        assert np.isfinite(first)
+        for _ in range(3):
+            state, stats = step(state, batch)
+        assert float(stats["loss"]) < first
+        assert int(state[2]) == 4
