@@ -91,7 +91,7 @@ def constrain_fsdp(
     )
 
 
-def make_fsdp_train_step(
+def _fsdp_step_body(
     model,
     transform,
     tx,
@@ -101,13 +101,13 @@ def make_fsdp_train_step(
     aug_contrast: bool = False,
     aug_noise: bool = False,
 ):
-    """The standard fused train step with FSDP-pinned output state.
+    """The standard train-step body with FSDP-pinned output state.
 
-    Identical math to ``train.steps.make_train_step`` (same body); the
-    only addition is a sharding constraint on the new params and
-    optimizer state so the updated tensors leave the step in the sharded
-    layout (inputs placed by :func:`shard_fsdp`, outputs pinned here, and
-    donation reuses the buffers in between).
+    Identical math to ``train.steps._train_step_body``; the only addition
+    is a sharding constraint on the new params and optimizer state so the
+    updated tensors leave the step in the sharded layout (inputs placed by
+    :func:`shard_fsdp`, outputs pinned here, and donation reuses the
+    buffers in between).
     """
     from ..train.steps import _train_step_body
 
@@ -121,4 +121,47 @@ def make_fsdp_train_step(
         )
         return new_state, stats
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_fsdp_train_step(
+    model,
+    transform,
+    tx,
+    mesh: Mesh,
+    axis: str = "data",
+    min_bytes: int = 2**14,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """Jitted FSDP train step (see :func:`_fsdp_step_body`)."""
+    return jax.jit(
+        _fsdp_step_body(
+            model, transform, tx, mesh, axis, min_bytes, aug_contrast, aug_noise
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def make_fsdp_multi_train_step(
+    model,
+    transform,
+    tx,
+    mesh: Mesh,
+    axis: str = "data",
+    min_bytes: int = 2**14,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """G chained FSDP steps per dispatch — the sharded twin of
+    ``train.steps.make_multi_train_step`` (the layout constraint inside the
+    scan body keeps every intermediate state sharded, so peak HBM is the
+    sharded footprint regardless of G)."""
+    body = _fsdp_step_body(
+        model, transform, tx, mesh, axis, min_bytes, aug_contrast, aug_noise
+    )
+
+    def multi_step(state, batches):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))

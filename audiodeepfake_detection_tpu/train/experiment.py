@@ -95,6 +95,12 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
     parser.add_argument("--frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
+    # ZeRO-3-style param/optimizer sharding over the data axis
+    # (parallel/fsdp.py); only pays off for large models (AST).
+    parser.add_argument("--fsdp", action="store_true")
+    parser.add_argument(
+        "--fsdp-min-bytes", type=int, default=d.fsdp_min_bytes
+    )
     # speed mode: bf16 activations + Pallas fused first-layer kernels
     # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
     # Tri-state: off / train (kernel for training only) / always (eval

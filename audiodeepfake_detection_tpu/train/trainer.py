@@ -74,6 +74,8 @@ class Trainer:
 
         self.tx = make_optimizer(args.learning_rate, args.weight_decay)
         self.steps_per_call = int(args.get("steps_per_call") or 1)
+        self._fsdp = bool(args.get("fsdp"))
+        self._fsdp_min_bytes = int(args.get("fsdp_min_bytes") or 2**14)
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -88,29 +90,52 @@ class Trainer:
     def _build_steps(self) -> None:
         """(Re)build the jitted step functions for the current model."""
         model, transform, args = self.model, self.transform, self.args
-        self.train_step = make_train_step(
-            model,
-            transform,
-            self.tx,
+        aug = dict(
             aug_contrast=bool(args.aug_contrast),
             aug_noise=bool(args.aug_noise),
         )
+        if self._fsdp:
+            # ZeRO-3-style param/optimizer sharding (parallel/fsdp.py):
+            # same math, state pinned to the sharded layout step-to-step.
+            from ..parallel.fsdp import (
+                make_fsdp_multi_train_step,
+                make_fsdp_train_step,
+            )
+
+            self.train_step = make_fsdp_train_step(
+                model, transform, self.tx, self.mesh,
+                min_bytes=self._fsdp_min_bytes, **aug,
+            )
+        else:
+            self.train_step = make_train_step(model, transform, self.tx, **aug)
         # chain G optimizer steps per dispatch (lax.scan) — identical math,
         # G fewer host round-trips (the relay costs ~100 ms per dispatch
         # with fresh inputs; see steps.make_multi_train_step)
         self.multi_train_step = None
         self.multi_eval_step = None  # built lazily in val_test_loop
         if self.steps_per_call > 1:
-            from .steps import make_multi_train_step
+            if self._fsdp:
+                self.multi_train_step = make_fsdp_multi_train_step(
+                    model, transform, self.tx, self.mesh,
+                    min_bytes=self._fsdp_min_bytes, **aug,
+                )
+            else:
+                from .steps import make_multi_train_step
 
-            self.multi_train_step = make_multi_train_step(
-                model,
-                transform,
-                self.tx,
-                aug_contrast=bool(args.aug_contrast),
-                aug_noise=bool(args.aug_noise),
-            )
+                self.multi_train_step = make_multi_train_step(
+                    model, transform, self.tx, **aug
+                )
         self.eval_step = make_eval_step(model, transform)
+
+    def _place_params(self, tree):
+        """Params/optimizer placement: FSDP-sharded or replicated."""
+        if self._fsdp:
+            from ..parallel.fsdp import shard_fsdp
+
+            return shard_fsdp(
+                tree, self.mesh, min_bytes=self._fsdp_min_bytes
+            )
+        return replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------ init
 
@@ -161,22 +186,22 @@ class Trainer:
             self.model, self.tx, image, seed=int(self.args.seed or 0)
         )
         self.state = self.state._replace(
-            params=replicate(self.mesh, self.state.params),
+            params=self._place_params(self.state.params),
             batch_stats=replicate(self.mesh, self.state.batch_stats),
-            opt_state=replicate(self.mesh, self.state.opt_state),
+            opt_state=self._place_params(self.state.opt_state),
         )
         self._guard_fused_zero_alpha()
 
     def load_variables(self, variables: Dict[str, Any]) -> None:
         """Install imported variables (e.g. from a ``.pt`` snapshot)."""
         variables = jax.tree.map(jnp.asarray, variables)
-        params = replicate(self.mesh, variables["params"])
+        params = self._place_params(variables["params"])
         batch_stats = replicate(self.mesh, variables.get("batch_stats", {}))
         rng = jax.random.key(int(self.args.seed or 0))
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
-            opt_state=replicate(self.mesh, self.tx.init(variables["params"])),
+            opt_state=self._place_params(self.tx.init(variables["params"])),
             step=jnp.zeros((), jnp.int32),
             rng=rng,
         )
@@ -566,8 +591,8 @@ class Trainer:
         if blob is not None:
             self.load_variables(blob["variables"])
             self.state = self.state._replace(
-                opt_state=replicate(
-                    self.mesh, jax.tree.map(jnp.asarray, blob["opt_state"])
+                opt_state=self._place_params(
+                    jax.tree.map(jnp.asarray, blob["opt_state"])
                 ),
                 step=jnp.asarray(blob["step"], jnp.int32),
             )

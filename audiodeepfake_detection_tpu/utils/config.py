@@ -114,6 +114,8 @@ def default_config() -> DotDict:
         fused_layer2=False,
         frame_cache=False,
         steps_per_call=1,
+        fsdp=False,
+        fsdp_min_bytes=2**14,
     )
 
 

@@ -483,3 +483,96 @@ class TestTrueIndexDump:
         blob = np.load(out, allow_pickle=True).item()
         assert blob["dataset"].shape == (2, 4)  # reference layout: cross
         assert blob["dataset_known"].shape == (3, 4)
+
+
+class TestTrainerFSDP:
+    """The fsdp config flag end-to-end through the Trainer: state placed
+    sharded, single and scan-chained steps run, snapshot round-trip
+    restores into the sharded layout."""
+
+    def _trainer(self, tmp_path):
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.trainer import Trainer
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(
+            seed=0, learning_rate=4e-4, weight_decay=1e-3,
+            fsdp=True, fsdp_min_bytes=0, steps_per_call=2,
+        )
+        # channel widths divisible by the 8-device mesh so leaves shard
+        model = DCNN(
+            time_dim=1, ochannels1=8, ochannels2=8, ochannels3=16,
+            ochannels4=16, ochannels5=8,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        trainer = Trainer(
+            model, transform, args, snapshot_path=str(tmp_path / "fsdp")
+        )
+        batch = {
+            "audio": np.random.RandomState(0)
+            .randn(16, 1, 2048)
+            .astype(np.float32),
+            "label": np.tile([0, 1], 8).astype(np.int32),
+        }
+        trainer.init_state(batch)
+        return trainer, batch
+
+    @staticmethod
+    def _any_sharded(tree):
+        import jax
+
+        return any(
+            "data" in str(p.sharding.spec)
+            for p in jax.tree_util.tree_leaves(tree)
+        )
+
+    def test_state_sharded_and_steps_run(self, tmp_path, eight_devices):
+        import jax
+        import numpy as np
+
+        from audiodeepfake_detection_tpu.parallel.mesh import shard_batch
+        from audiodeepfake_detection_tpu.train.steps import stack_batches
+
+        trainer, batch = self._trainer(tmp_path)
+        assert self._any_sharded(trainer.state.params)
+        assert self._any_sharded(trainer.state.opt_state)
+
+        db = shard_batch(trainer.mesh, batch)
+        state, stats = trainer.train_step(trainer.state, db)
+        assert np.isfinite(float(stats["loss"]))
+        assert self._any_sharded(state.params)
+
+        group = shard_batch(
+            trainer.mesh, stack_batches([batch, batch]), batch_axis=1
+        )
+        state, mstats = trainer.multi_train_step(state, group)
+        assert np.isfinite(np.asarray(mstats["loss"])).all()
+        assert mstats["loss"].shape == (2,)
+        assert self._any_sharded(state.params)
+        trainer.state = state
+
+    def test_snapshot_roundtrip_restores_sharded(self, tmp_path, eight_devices):
+        import numpy as np
+
+        from audiodeepfake_detection_tpu.parallel.mesh import shard_batch
+
+        trainer, batch = self._trainer(tmp_path)
+        db = shard_batch(trainer.mesh, batch)
+        trainer.state, _ = trainer.train_step(trainer.state, db)
+        trainer.save_snapshot(epoch=1)
+
+        fresh, _ = self._trainer(tmp_path)
+        fresh.load_snapshot()
+        assert fresh.epochs_run == 1
+        assert self._any_sharded(fresh.state.params)
+        assert self._any_sharded(fresh.state.opt_state)
+        for a, b in zip(
+            np.asarray(trainer.state.step, np.int32).reshape(1),
+            np.asarray(fresh.state.step, np.int32).reshape(1),
+        ):
+            assert a == b
