@@ -82,7 +82,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_conv1 import _dot_dtype, _rows_per_cell
+from .fused_conv1 import _rows_per_cell
 
 K = 3  # kernel size; padding = 1 (cnn_7 geometry)
 NPOS = 4  # pool window positions (a*2 + b)
@@ -305,7 +305,6 @@ def _fwd_impl(x, w, corr, alpha, want_sel: bool, want_stats: bool):
     alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
-    dd = _dot_dtype(x)
     out_spec = pl.BlockSpec(
         (1, rows, w2, c_out), lambda i, hb: (i, hb, 0, 0),
         memory_space=pltpu.VMEM,
@@ -356,7 +355,6 @@ def _run_bwd(res, g, gs=None, gq=None):
     alpha2 = alpha.astype(jnp.float32).reshape(1, 1)
     interpret = jax.default_backend() != "tpu"
     rows = _rows_per_cell(h2)
-    dd = _dot_dtype(x)
     small_spec = pl.BlockSpec(
         (1, rows, w2, c_out), lambda i, hb: (i, hb, 0, 0),
         memory_space=pltpu.VMEM,

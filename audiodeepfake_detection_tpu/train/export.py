@@ -185,7 +185,11 @@ def main(argv=None) -> None:
             "normalized": args.norm is not None or args.mean is not None,
         },
     )
-    size = len(exported.serialize())
+    # file size, not a second serialize(): the module embeds all weights
+    # as constants, so re-serializing would double export time and memory
+    import os
+
+    size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size} bytes, platforms "
           f"{list(exported.platforms)}, input ["
           f"{', '.join(str(d) for d in exported.in_avals[0].shape)}])")

@@ -259,6 +259,13 @@ def main(argv=None) -> None:
     parser.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
 
+    if args.self_norm and (args.norm or args.mean or args.std):
+        parser.error(
+            "--self-norm conflicts with --norm/--mean/--std: the explicit "
+            "stats already normalize the transform, and self-norm would "
+            "normalize the result a second time"
+        )
+
     model, transform, variables, cfg = build_scorer_from_snapshot(
         args.snapshot,
         norm=args.norm,

@@ -153,7 +153,9 @@ class Trainer:
         """
         model = self.model
         fused_attrs = [
-            a for a in ("fused_layer1", "fused_pool") if getattr(model, a, False)
+            a
+            for a in ("fused_layer1", "fused_layer2", "fused_pool")
+            if getattr(model, a, False)
         ]
         if not fused_attrs or self.state is None:
             return

@@ -424,6 +424,25 @@ class TestZeroAlphaFusedGuard:
         assert trainer.model.fused_layer1 is False
         assert "unfused" in capsys.readouterr().out
 
+    def test_zero_alpha_disables_fused_layer2_too(self, tmp_path, capsys):
+        """Regression: the guard originally scanned only fused_layer1 and
+        fused_pool, but the fused_layer2 kernel (ops/fused_conv2.py) has
+        the same dalpha/alpha==0 degeneration on cnn_8's slope."""
+        import jax
+
+        trainer = _tiny_trainer(tmp_path, name="za2", fused_layer2=True)
+        assert trainer.model.fused_layer2
+        variables = {
+            "params": jax.tree.map(np.asarray, trainer.state.params),
+            "batch_stats": jax.tree.map(np.asarray, trainer.state.batch_stats),
+        }
+        variables["params"]["cnn_8"]["alpha"] = np.zeros_like(
+            variables["params"]["cnn_8"]["alpha"]
+        )
+        trainer.load_variables(variables)
+        assert trainer.model.fused_layer2 is False
+        assert "unfused" in capsys.readouterr().out
+
     def test_nonzero_alpha_keeps_fused_kernels(self, tmp_path):
         trainer = _tiny_trainer(tmp_path, name="nz", fused_layer1=True)
         import jax

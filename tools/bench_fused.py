@@ -33,7 +33,13 @@ def main() -> None:
     from audiodeepfake_detection_tpu.ops.wpt import packet_image
 
     def transform(audio):
-        return packet_image(audio, "sym5", level=8, log_scale=True, power=2.0)
+        # Match bench.py's speed mode: DEFAULT = one bf16 MXU pass in the
+        # WPT's banded dots (default is the HIGHEST multi-pass parity
+        # kernel, which would inflate both timed configurations equally).
+        return packet_image(
+            audio, "sym5", level=8, log_scale=True, power=2.0,
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
     fast = dict(precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16)
     if args.only != "fused":

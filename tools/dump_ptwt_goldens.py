@@ -46,12 +46,8 @@ def _ptwt_pack(x: np.ndarray, wavelet: str, level: int) -> np.ndarray:
     except ImportError:
         import pywt
 
-        wp = pywt.WaveletPacket(
-            x.astype(np.float64), wavelet, mode="symmetric", maxlevel=level
-        )
-        # pywt "symmetric" == ptwt/torch "reflect"?  NO: pywt's symmetric
-        # is half-sample (whole-point for torch reflect); use pywt's
-        # "reflect" which matches torch's reflect padding.
+        # NB pywt's "symmetric" is half-sample (≠ torch reflect); pywt's
+        # "reflect" is whole-point and matches torch's reflect padding.
         wp = pywt.WaveletPacket(
             x.astype(np.float64), wavelet, mode="reflect", maxlevel=level
         )
