@@ -409,6 +409,68 @@ class TestFSDP:
         flat_out = jax.tree_util.tree_leaves(new_state.params)
         assert any("data" in str(p.sharding.spec) for p in flat_out)
 
+    def test_multi_step_matches_chained_single_steps(self, eight_devices):
+        """The scan-chained FSDP dispatch (steps_per_call>1 in the Trainer)
+        is bitwise the same math as G sequential single FSDP steps."""
+        import optax
+
+        from audiodeepfake_detection_tpu.parallel.fsdp import (
+            make_fsdp_multi_train_step,
+            make_fsdp_train_step,
+            shard_fsdp,
+        )
+        from audiodeepfake_detection_tpu.train.steps import (
+            create_train_state,
+            stack_batches,
+        )
+
+        mesh = get_mesh()
+        model, transform, batch, img = self._setup()
+        tx = optax.sgd(1e-2)
+        rng = np.random.RandomState(1)
+        batch2 = {
+            "audio": rng.randn(16, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 16).astype(np.int32),
+        }
+
+        def fresh_state():
+            s = create_train_state(model, tx, img, seed=0)
+            return s._replace(
+                params=shard_fsdp(s.params, mesh, min_bytes=0),
+                batch_stats=replicate(mesh, s.batch_stats),
+                opt_state=shard_fsdp(s.opt_state, mesh, min_bytes=0),
+            )
+
+        single = make_fsdp_train_step(model, transform, tx, mesh, min_bytes=0)
+        s_ref = fresh_state()
+        s_ref, stats1 = single(s_ref, shard_batch(mesh, batch))
+        s_ref, stats2 = single(s_ref, shard_batch(mesh, batch2))
+
+        multi = make_fsdp_multi_train_step(
+            model, transform, tx, mesh, min_bytes=0
+        )
+        group = shard_batch(
+            mesh, stack_batches([batch, batch2]), batch_axis=1
+        )
+        s_multi, mstats = multi(fresh_state(), group)
+
+        np.testing.assert_allclose(
+            np.asarray(mstats["loss"]),
+            [float(stats1["loss"]), float(stats2["loss"])],
+            rtol=1e-6,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            s_ref.params,
+            s_multi.params,
+        )
+        assert any(
+            "data" in str(p.sharding.spec)
+            for p in jax.tree_util.tree_leaves(s_multi.params)
+        )
+
     def test_adam_moments_leave_step_sharded(self, eight_devices):
         from audiodeepfake_detection_tpu.parallel.fsdp import (
             make_fsdp_train_step,
