@@ -198,6 +198,111 @@ def pp_ast_logits(
     return model.apply(variables, h, method="classify")
 
 
+def _pp_trainer_step_body(
+    model,
+    transform,
+    tx,
+    mesh: Mesh,
+    n_microbatches: int,
+    stage_axis: str = "stage",
+    data_axis: str = "data",
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """Trainer-compatible step body: audio batches in, ``TrainState`` out.
+
+    The ``TrainState`` twin of :func:`make_pp_train_step` — same transform /
+    augment / loss semantics as ``train.steps._train_step_body`` with the
+    encoder pipelined over ``stage_axis``.  Params live in the ordinary
+    (replicated) checkpoint layout at rest; the stage-sharded block stack is
+    formed inside the traced function (see :func:`pp_ast_logits`), so the
+    Trainer's snapshot / eval / import machinery needs no PP awareness.
+    AST has no batch-norm state, so ``batch_stats`` passes through.
+    """
+    import optax
+
+    from ..ops.audio import augment
+    from ..train.steps import TrainState, audio_to_float
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, aug_rng = jax.random.split(state.rng)
+        audio = audio_to_float(batch["audio"])
+        labels = (batch["label"] != 0).astype(jnp.int32)
+        if aug_contrast or aug_noise:
+            audio = augment(aug_rng, audio, aug_contrast, aug_noise)
+        image = jax.lax.stop_gradient(transform(audio))
+
+        def loss_fn(p):
+            out = pp_ast_logits(
+                model, p, image, mesh, n_microbatches, stage_axis, data_axis
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
+        new_state = TrainState(
+            params=params,
+            batch_stats=state.batch_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_pp_trainer_step(
+    model,
+    transform,
+    tx,
+    mesh: Mesh,
+    n_microbatches: int,
+    stage_axis: str = "stage",
+    data_axis: str = "data",
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """Jitted Trainer-compatible PP train step (see the body docstring)."""
+    return jax.jit(
+        _pp_trainer_step_body(
+            model, transform, tx, mesh, n_microbatches,
+            stage_axis, data_axis, aug_contrast, aug_noise,
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def make_pp_multi_trainer_step(
+    model,
+    transform,
+    tx,
+    mesh: Mesh,
+    n_microbatches: int,
+    stage_axis: str = "stage",
+    data_axis: str = "data",
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """G chained PP steps per dispatch (``steps_per_call>1`` in the Trainer)."""
+    body = _pp_trainer_step_body(
+        model, transform, tx, mesh, n_microbatches,
+        stage_axis, data_axis, aug_contrast, aug_noise,
+    )
+
+    def multi_step(state, batches):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_pp_train_step(
     model,
     tx,

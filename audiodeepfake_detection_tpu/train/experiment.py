@@ -101,6 +101,12 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument(
         "--fsdp-min-bytes", type=int, default=d.fsdp_min_bytes
     )
+    # GPipe pipeline over the AST encoder (parallel/pipeline.py): the mesh
+    # gets a 'stage' axis of this size; remaining devices do DP.
+    parser.add_argument("--pp-stages", type=int, default=d.pp_stages)
+    parser.add_argument(
+        "--pp-microbatches", type=int, default=d.pp_microbatches
+    )
     # speed mode: bf16 activations + Pallas fused first-layer kernels
     # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
     # Tri-state: off / train (kernel for training only) / always (eval
@@ -239,8 +245,29 @@ def create_data_loaders(args: DotDict):
     return train_loader, val_loader, test_loader, cross_loader_val, cross_loader_test
 
 
+def mesh_for(args: DotDict):
+    """The experiment's device mesh: 1-D DP, or ('data','stage') for PP.
+
+    ``pp_stages>1`` (GPipe over the AST encoder, parallel/pipeline.py) puts
+    the trailing ``stage`` axis on the mesh; the remaining devices do DP.
+    """
+    import jax
+
+    pp = int(args.get("pp_stages") or 1)
+    if pp > 1:
+        n = len(jax.devices())
+        if n % pp:
+            raise ValueError(
+                f"pp_stages={pp} does not divide {n} devices"
+            )
+        return get_mesh(axis_names=("data", "stage"), shape=(n // pp, pp))
+    return get_mesh()
+
+
 def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     """One grid point: transforms, model, loaders, Trainer, chosen mode."""
+    if mesh is None and int(args.get("pp_stages") or 1) > 1:
+        mesh = mesh_for(args)
     if args.features != "none" and args.model != "lcnn":
         raise NotImplementedError(
             f"LFCC features are currently not implemented for {args.model}."
@@ -398,7 +425,6 @@ def main(argv=None) -> None:
         )
         num_exp = griderator.get_len()
 
-    mesh = get_mesh()
     exp_results: Dict[Any, list] = {}
     model_file = "defaultmodel"
     for _exp in range(num_exp):
@@ -410,7 +436,10 @@ def main(argv=None) -> None:
             )
             print("---------------------------------------------------------")
             args, _ = griderator.update_step(args)
-        trainer = run_experiment(args, mesh=mesh)
+        # per grid point: pp_stages can be a grid axis, and the mesh
+        # shape follows it (mesh construction is cheap; jit caches key
+        # on the mesh so unchanged configs still hit the cache)
+        trainer = run_experiment(args, mesh=mesh_for(args))
         model_file = trainer.snapshot_path[: -len(".pt")]
         exp_results.setdefault(args.seed, []).append(trainer.test_results)
 

@@ -69,13 +69,49 @@ class Trainer:
         self.cross_loader_val = cross_loader_val
         self.cross_loader_test = cross_loader_test
         self.writer = writer
-        self.mesh = mesh if mesh is not None else get_mesh()
+        self._pp = int(args.get("pp_stages") or 1)
+        self._pp_microbatches = int(args.get("pp_microbatches") or 2)
+        if mesh is None:
+            if self._pp > 1:
+                # GPipe over the encoder needs a 'stage' mesh axis
+                # (parallel/pipeline.py); remaining devices do DP.
+                n = len(jax.devices())
+                if n % self._pp:
+                    raise ValueError(
+                        f"pp_stages={self._pp} does not divide {n} devices"
+                    )
+                mesh = get_mesh(
+                    axis_names=("data", "stage"),
+                    shape=(n // self._pp, self._pp),
+                )
+            else:
+                mesh = get_mesh()
+        elif self._pp > 1 and "stage" not in mesh.axis_names:
+            raise ValueError(
+                "pp_stages>1 requires a mesh with a 'stage' axis "
+                f"(got axes {mesh.axis_names})"
+            )
+        self.mesh = mesh
         self.label_names = label_names or {}
 
         self.tx = make_optimizer(args.learning_rate, args.weight_decay)
         self.steps_per_call = int(args.get("steps_per_call") or 1)
         self._fsdp = bool(args.get("fsdp"))
         self._fsdp_min_bytes = int(args.get("fsdp_min_bytes") or 2**14)
+        if self._fsdp and self._pp > 1:
+            raise ValueError(
+                "fsdp and pp_stages>1 are mutually exclusive (ZeRO shards "
+                "over 'data'; the pipeline already shards blocks over "
+                "'stage' inside the step)"
+            )
+        if self._pp > 1 and not (
+            hasattr(model, "embed") and hasattr(model, "classify")
+        ):
+            raise ValueError(
+                "pp_stages>1 supports encoder-stack models with separable "
+                "embed/encode/classify phases (the AST); "
+                f"{type(model).__name__} has no embed/classify methods"
+            )
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -106,6 +142,19 @@ class Trainer:
                 model, transform, self.tx, self.mesh,
                 min_bytes=self._fsdp_min_bytes, **aug,
             )
+        elif self._pp > 1:
+            # GPipe pipeline over the encoder (parallel/pipeline.py):
+            # params stay in the replicated checkpoint layout at rest, the
+            # stage-sharded block stack is formed inside the jitted step.
+            from ..parallel.pipeline import (
+                make_pp_multi_trainer_step,
+                make_pp_trainer_step,
+            )
+
+            self.train_step = make_pp_trainer_step(
+                model, transform, self.tx, self.mesh,
+                n_microbatches=self._pp_microbatches, **aug,
+            )
         else:
             self.train_step = make_train_step(model, transform, self.tx, **aug)
         # chain G optimizer steps per dispatch (lax.scan) — identical math,
@@ -118,6 +167,11 @@ class Trainer:
                 self.multi_train_step = make_fsdp_multi_train_step(
                     model, transform, self.tx, self.mesh,
                     min_bytes=self._fsdp_min_bytes, **aug,
+                )
+            elif self._pp > 1:
+                self.multi_train_step = make_pp_multi_trainer_step(
+                    model, transform, self.tx, self.mesh,
+                    n_microbatches=self._pp_microbatches, **aug,
                 )
             else:
                 from .steps import make_multi_train_step

@@ -116,6 +116,8 @@ def default_config() -> DotDict:
         steps_per_call=1,
         fsdp=False,
         fsdp_min_bytes=2**14,
+        pp_stages=1,
+        pp_microbatches=2,
     )
 
 

@@ -504,6 +504,92 @@ class TestTrueIndexDump:
         assert blob["dataset_known"].shape == (3, 4)
 
 
+class TestTrainerPP:
+    """pp_stages end-to-end through the Trainer: ('data','stage') mesh
+    built automatically, GPipe step + scan-chained dispatch run, params
+    stay in the replicated checkpoint layout, guards fire."""
+
+    def _trainer(self, tmp_path, **extra):
+        from audiodeepfake_detection_tpu.models.ast import ASTModel
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.trainer import Trainer
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        overrides = dict(
+            seed=0, learning_rate=4e-4, weight_decay=1e-3,
+            pp_stages=2, pp_microbatches=2, steps_per_call=2,
+        )
+        overrides.update(extra)
+        args.update(**overrides)
+        model = ASTModel(
+            model_size="tiny224", input_fdim=32, input_tdim=64
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=5, log_scale=True)
+
+        trainer = Trainer(
+            model, transform, args, snapshot_path=str(tmp_path / "pp")
+        )
+        batch = {
+            "audio": np.random.RandomState(0)
+            .randn(8, 1, 2048)
+            .astype(np.float32),
+            "label": np.tile([0, 1], 4).astype(np.int32),
+        }
+        return trainer, batch
+
+    def test_pp_steps_run_through_trainer(self, tmp_path, eight_devices):
+        import jax
+        import numpy as np
+
+        from audiodeepfake_detection_tpu.parallel.mesh import shard_batch
+        from audiodeepfake_detection_tpu.train.steps import stack_batches
+
+        trainer, batch = self._trainer(tmp_path)
+        assert dict(trainer.mesh.shape) == {"data": 4, "stage": 2}
+        trainer.init_state(batch)
+
+        db = shard_batch(trainer.mesh, batch)
+        state, stats = trainer.train_step(trainer.state, db)
+        assert np.isfinite(float(stats["loss"]))
+        # params stay in the ordinary replicated layout (PP shards the
+        # block stack only inside the step)
+        for p in jax.tree_util.tree_leaves(state.params):
+            assert "stage" not in str(p.sharding.spec)
+
+        group = shard_batch(
+            trainer.mesh, stack_batches([batch, batch]), batch_axis=1
+        )
+        state, mstats = trainer.multi_train_step(state, group)
+        assert mstats["loss"].shape == (2,)
+        assert np.isfinite(np.asarray(mstats["loss"])).all()
+
+    def test_pp_guards(self, tmp_path, eight_devices):
+        import pytest
+
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.train.trainer import Trainer
+        from audiodeepfake_detection_tpu.utils.config import default_config
+
+        args = default_config()
+        args.update(
+            seed=0, learning_rate=4e-4, weight_decay=1e-3, pp_stages=2
+        )
+        with pytest.raises(ValueError, match="embed/classify"):
+            Trainer(
+                DCNN(time_dim=1), lambda a: a, args,
+                snapshot_path=str(tmp_path / "g1"),
+            )
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            self._trainer(tmp_path, fsdp=True)
+
+        with pytest.raises(ValueError, match="does not divide"):
+            self._trainer(tmp_path, pp_stages=3)
+
+
 class TestTrainerFSDP:
     """The fsdp config flag end-to-end through the Trainer: state placed
     sharded, single and scan-chained steps run, snapshot round-trip
