@@ -107,6 +107,9 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument(
         "--pp-microbatches", type=int, default=d.pp_microbatches
     )
+    # grid-vectorized sweeps (train/vectorized.py): all seeds of each grid
+    # config trained in ONE jitted program (vmap over the seed axis).
+    parser.add_argument("--vmap-seeds", action="store_true")
     # speed mode: bf16 activations + Pallas fused first-layer kernels
     # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
     # Tri-state: off / train (kernel for training only) / always (eval
@@ -369,6 +372,112 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
     return trainer
 
 
+def run_experiment_vectorized(args_list, mesh=None):
+    """One grid config × S seeds, trained in ONE vectorized program.
+
+    ``args_list`` holds the grid points of a single hyper-parameter config
+    that differ only in ``seed``.  Setup that is seed-independent (datasets,
+    normalization statistics, transform, model definition) happens once;
+    per-seed shadow Trainers handle snapshots / metrics / tensorboard and
+    the :class:`~.sweep.VectorizedSeedSweep` drives training with every
+    tensor carrying a leading seed axis (see train/vectorized.py).  The
+    reference runs these serially (train_classifier.py:1147).
+    """
+    from .sweep import VectorizedSeedSweep
+
+    base = args_list[0].copy()
+    seeds = [int(a.seed or 0) for a in args_list]
+    if base.features != "none" and base.model != "lcnn":
+        raise NotImplementedError(
+            f"LFCC features are currently not implemented for {base.model}."
+        )
+    loss_less = base.loss_less == "True"
+    if base.transform == "stft" and loss_less:
+        raise ValueError(
+            "Sign channel not possible for stft due to complex data type."
+        )
+    np.random.seed(int(base.seed or 0))
+
+    (
+        train_loader,
+        val_loader,
+        test_loader,
+        cross_loader_val,
+        cross_loader_test,
+    ) = create_data_loaders(base)
+
+    def norm_batches():
+        bs = max(1, min(4000, len(train_loader.dataset)))
+        big = FrameLoader(train_loader.dataset, bs)
+        for batch in big.epoch(0, shuffle=False):
+            keep = batch["weight"] > 0
+            yield batch["audio"][keep]
+
+    transform, mean, std = get_transforms(base, train_batches=norm_batches)
+    base.input_dim = get_input_dims(base, transform)
+    full_transform = normalized_transform(transform, mean, std)
+
+    model = get_model(
+        base,
+        base.model,
+        nclasses=int(base.nclasses or 2),
+        in_channels=2 if loss_less else 1,
+        mesh=mesh,
+    )
+    model_name = model.get_name() if base.model == "modules" else "customModel"
+
+    base_dir = base.log_dir
+    os.makedirs(base_dir + "/models", exist_ok=True)
+
+    import jax
+
+    shard_kw = dict(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        use_frame_cache=True if base.frame_cache else None,
+        emit="int16" if base.frame_cache else "float32",
+    )
+    shadows, train_loaders = [], []
+    for a in args_list:
+        a = a.copy()
+        a.input_dim = base.input_dim
+        model_file = experiment_model_file(a, base_dir, model_name)
+        writer = None
+        if a.tensorboard:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(tensorboard_dir(a, base_dir, model_name))
+        shadows.append(
+            Trainer(
+                model=model,
+                transform=full_transform,
+                args=a,
+                snapshot_path=model_file,
+                train_loader=train_loader,
+                val_loader=val_loader,
+                test_loader=test_loader,
+                cross_loader_val=cross_loader_val,
+                cross_loader_test=cross_loader_test,
+                writer=writer,
+                mesh=mesh,
+                label_names=test_loader.dataset.label_names,
+            )
+        )
+        train_loaders.append(
+            FrameLoader(
+                train_loader.dataset,
+                a.batch_size,
+                shuffle=True,
+                drop_last=True,
+                seed=int(a.seed or 0),
+                **shard_kw,
+            )
+        )
+    print(f"vmap_seeds: training seeds {seeds} in one vectorized program")
+    VectorizedSeedSweep(shadows, train_loaders).train(base.epochs)
+    return shadows
+
+
 def dump_true_indices(args: DotDict, trainer, model_file: str) -> str:
     """Write the ``--get-details`` correct-index dump for model-diff analysis.
 
@@ -427,6 +536,44 @@ def main(argv=None) -> None:
 
     exp_results: Dict[Any, list] = {}
     model_file = "defaultmodel"
+
+    if (
+        args.get("vmap_seeds")
+        and griderator is not None
+        and not (args.only_testing or args.only_ig)
+    ):
+        # materialize every grid point, then group by the non-seed config:
+        # each group's seeds train in ONE vectorized program.  Groups are
+        # processed in first-appearance order, so each seed's result list
+        # keeps the serial loop's per-seed config order.
+        configs = []
+        for _exp in range(num_exp):
+            args, _ = griderator.update_step(args)
+            configs.append(args.copy())
+        groups: Dict[str, list] = {}
+        for a in configs:
+            key = repr(
+                sorted((k, repr(v)) for k, v in a.items() if k != "seed")
+            )
+            groups.setdefault(key, []).append(a)
+        for group in groups.values():
+            shadows = run_experiment_vectorized(group, mesh=mesh_for(group[0]))
+            for sh in shadows:
+                model_file = sh.snapshot_path[: -len(".pt")]
+                exp_results.setdefault(sh.args.seed, []).append(
+                    sh.test_results
+                )
+                if sh.args.get_details and sh.current_true_indices:
+                    dump_true_indices(sh.args, sh, model_file)
+        print_results(configs[-1], exp_results, griderator, model_file)
+        return
+
+    if args.get("vmap_seeds"):
+        print(
+            "vmap_seeds: nothing to vectorize "
+            "(needs --enable-gs training mode); running serially."
+        )
+
     for _exp in range(num_exp):
         if griderator is not None:
             print("---------------------------------------------------------")

@@ -1,0 +1,240 @@
+"""Vectorized multi-seed sweep runner: train S grid seeds in one program.
+
+The reference's grid driver runs each seed as a full independent training
+run (reference: src/audiofakedetect/train_classifier.py:1147 loops the
+cartesian grid whose first axis is the seed list, utils.py:505-513).  This
+runner drives the :mod:`train.vectorized` steps — one jitted program whose
+every tensor carries a leading ``[S]`` seed axis — through the standard
+epoch / validation / checkpoint cadence, and delegates everything
+seed-scalar (metrics, EER tables, ``.pt``/orbax snapshots, tensorboard,
+true-index dumps) to S ordinary per-seed :class:`~.trainer.Trainer`
+"shadows" by slicing the vectorized state with
+:func:`~.vectorized.state_for_seed`.  Slices are device-side gathers, so a
+validation pass costs S cheap evals, while the expensive part — training —
+runs S× per dispatch.
+
+Parity: each seed sees its own init, PRNG stream, optimizer moments, BN
+running stats and data order (per-seed shuffled loaders), so the final
+per-seed states equal the serial grid's (locked by tests/test_vectorized.py
+at step level and tests/test_sweep.py end-to-end).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .steps import audio_to_float, stack_batches
+from .vectorized import (
+    create_vectorized_state,
+    make_vectorized_multi_train_step,
+    make_vectorized_train_step,
+    multi_seed_epoch,
+    state_for_seed,
+)
+
+__all__ = ["VectorizedSeedSweep"]
+
+
+class VectorizedSeedSweep:
+    """Drive S shadow Trainers through one vectorized training run.
+
+    ``shadows`` are fully-constructed per-seed Trainers (one per seed, same
+    model / transform / mesh / hyper-parameters, per-seed ``args.seed`` and
+    snapshot paths); ``train_loaders`` are the per-seed shuffled train
+    loaders, index-aligned with ``shadows``.
+    """
+
+    def __init__(self, shadows: Sequence, train_loaders: Sequence) -> None:
+        if len(shadows) != len(train_loaders):
+            raise ValueError("one train loader per shadow Trainer required")
+        if not shadows:
+            raise ValueError("at least one seed required")
+        self.shadows = list(shadows)
+        self.train_loaders = list(train_loaders)
+        lead = self.shadows[0]
+        self.model = lead.model
+        self.transform = lead.transform
+        self.args = lead.args
+        self.mesh = lead.mesh
+        self.tx = lead.tx
+        self.steps_per_call = lead.steps_per_call
+        self.seeds = [int(sh.args.seed or 0) for sh in self.shadows]
+
+        # Composition guards: the fused Pallas kernels dispatch through
+        # shard_map (no vmap batching rule), and the sharded/pipelined
+        # runtimes re-layout state in ways the seed axis would break.
+        for attr in ("fused_layer1", "fused_layer2", "fused_pool"):
+            if getattr(self.model, attr, False):
+                raise ValueError(
+                    f"vmap_seeds is incompatible with {attr} (shard_map'd "
+                    "Pallas kernels have no vmap batching rule); use the "
+                    "XLA model path"
+                )
+        if bool(self.args.get("fsdp")) or int(self.args.get("pp_stages") or 1) > 1:
+            raise ValueError(
+                "vmap_seeds composes with data parallelism only "
+                "(fsdp / pp_stages must be off)"
+            )
+
+        aug = dict(
+            aug_contrast=bool(self.args.aug_contrast),
+            aug_noise=bool(self.args.aug_noise),
+        )
+        self.train_step = make_vectorized_train_step(
+            self.model, self.transform, self.tx, **aug
+        )
+        self.multi_train_step = (
+            make_vectorized_multi_train_step(
+                self.model, self.transform, self.tx, **aug
+            )
+            if self.steps_per_call > 1
+            else None
+        )
+        self.vstate = None
+        self.step_total = 0
+
+    # ------------------------------------------------------------- lifecycle
+
+    def _init_vstate(self, example_batch: Dict[str, np.ndarray]) -> None:
+        if self.vstate is not None:
+            return
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import replicate
+
+        # example batch is [S, B, ...]; any seed's slice probes the shape
+        image = self.transform(
+            audio_to_float(jnp.asarray(example_batch["audio"][0][:2]))
+        )
+        self.vstate = create_vectorized_state(
+            self.model, self.tx, image, self.seeds
+        )
+        self.vstate = self.vstate._replace(
+            params=replicate(self.mesh, self.vstate.params),
+            batch_stats=replicate(self.mesh, self.vstate.batch_stats),
+            opt_state=replicate(self.mesh, self.vstate.opt_state),
+        )
+
+    def _push_states(self) -> None:
+        """Slice the vectorized state into every shadow Trainer."""
+        for i, sh in enumerate(self.shadows):
+            sh.state = state_for_seed(self.vstate, i)
+            sh.step_total = self.step_total
+
+    # -------------------------------------------------------------- training
+
+    def _shard(self, stacked, grouped: bool = False):
+        from ..parallel.mesh import shard_batch
+
+        # [S, B, ...] -> batch axis 1; [G, S, B, ...] -> batch axis 2
+        return shard_batch(self.mesh, stacked, batch_axis=2 if grouped else 1)
+
+    def _run_epoch(self, epoch: int) -> None:
+        print(
+            f"+--------------- Epoch {epoch + 1} "
+            f"({len(self.seeds)} seeds vectorized) ---------------+",
+            flush=True,
+        )
+        from .profiling import StepTimer
+
+        batches = multi_seed_epoch(self.train_loaders, epoch)
+        first = next(iter(batches), None)
+        if first is None:
+            return
+        self._init_vstate(first)
+
+        def chain():
+            yield first
+            yield from batches
+
+        # frames/s accounting: every step advances S seeds x B frames
+        timer = StepTimer(
+            self.train_loaders[0].batch_size * len(self.seeds)
+        )
+        pending: List[tuple] = []
+        spc = self.steps_per_call
+        buf: List[dict] = []
+
+        def flush_group():
+            group = stack_batches(buf)
+            buf.clear()
+            self.vstate, stats = self.multi_train_step(
+                self.vstate, self._shard(group, grouped=True)
+            )
+            for g in range(spc):
+                self.step_total += 1
+                timer.step()
+                pending.append(
+                    (self.step_total, jax.tree.map(lambda s, g=g: s[g], stats))
+                )
+
+        for stacked in chain():
+            if spc > 1:
+                buf.append(stacked)
+                if len(buf) == spc:
+                    flush_group()
+                continue
+            self.vstate, stats = self.train_step(
+                self.vstate, self._shard(stacked)
+            )
+            self.step_total += 1
+            timer.step()
+            pending.append((self.step_total, stats))
+        for stacked in buf:  # remainder of a partial group: single steps
+            self.vstate, stats = self.train_step(
+                self.vstate, self._shard(stacked)
+            )
+            self.step_total += 1
+            timer.step()
+            pending.append((self.step_total, stats))
+
+        # one host fetch for the epoch's stats; fan out per seed
+        for step_no, stats in pending:
+            loss = np.asarray(stats["loss"])
+            acc = np.asarray(stats["acc"])
+            for i, sh in enumerate(self.shadows):
+                sh.loss_list.append([step_no, epoch, float(loss[i])])
+                sh.accuracy_list.append([step_no, epoch, float(acc[i])])
+                if sh.writer is not None:
+                    sh.writer.add_scalar("loss/train", float(loss[i]), step_no)
+                    sh.writer.add_scalar(
+                        "accuracy/train", float(acc[i]), step_no
+                    )
+        print(f"epoch {epoch + 1}: {timer.summary()}", flush=True)
+
+    def train(self, max_epochs: int) -> None:
+        """Epoch loop with the reference's ckpt/validation cadence
+        (reference train_classifier.py:1021-1053), vectorized over seeds;
+        validation / checkpoints / testing run through the shadows."""
+        args = self.args
+        for epoch in range(max_epochs):
+            self._run_epoch(epoch)
+            self._push_states()
+            if (
+                (epoch > 0 and epoch % args.ckpt_every == 0)
+                or (epoch == 0 and args.ckpt_every == 1)
+                or (epoch == max_epochs - 1)
+            ):
+                for sh in self.shadows:
+                    sh.save_snapshot(epoch)
+            if (epoch > 0 and epoch % args.validation_interval == 0) or (
+                epoch == 0 and args.validation_interval == 1
+            ):
+                for sh in self.shadows:
+                    print(f"--- seed {sh.args.seed} ---")
+                    sh._run_validation(epoch)
+            if epoch == max_epochs - 1:
+                print("Training done, now testing...")
+                for sh in self.shadows:
+                    print(f"--- seed {sh.args.seed} ---")
+                    sh.test_results = sh.testing()
+                    tr = sh.test_results
+                    print(
+                        f"test results: known acc {tr[0] * 100:2.2f} %, "
+                        f"known eer {tr[1]:.3f}, "
+                        f"unknown acc {tr[2] * 100:2.2f} %, "
+                        f"unknown eer {tr[3]:.3f}"
+                    )

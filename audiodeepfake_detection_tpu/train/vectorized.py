@@ -1,0 +1,177 @@
+"""Grid-vectorized training: all sweep seeds in ONE compiled program.
+
+The reference's headline workflow is a grid search whose results aggregate
+over 5 seeds (reference: src/audiofakedetect/utils.py:505-513 prepends the
+seed list as a grid axis; README.md:124-126), and it trains those seeds
+strictly serially — one full run per seed.  On TPU the seed axis is just
+another batch dimension: ``jax.vmap`` over the train step turns S
+independent seed runs into one jitted program whose every HLO op carries a
+leading ``[S]`` axis.  There is no torch counterpart of this transform —
+it is the functional-JAX way to run an experiment sweep.
+
+Why it pays off:
+
+* **Dispatch amortization** — the dominant cost of small-model training in
+  this environment is the host->device round trip (~85 ms through the TPU
+  relay), already amortized G× by the ``lax.scan``-chained multi-step
+  (train/steps.py).  Vectorizing seeds multiplies the work per dispatch by
+  S on top: one dispatch advances S seeds × G optimizer steps.
+* **Utilization** — the DCNN family is small (~240k params); at small
+  batch sizes the per-op tails underfill the VPU/MXU.  The seed axis
+  multiplies arithmetic intensity without touching batch semantics.
+
+Semantics are EXACTLY the serial runs': every seed keeps its own params,
+optimizer moments, batch-norm running stats, PRNG stream, and its own
+data order (each seed's loader shuffles with its own seed, matching the
+serial grid).  ``tests/test_vectorized.py`` locks the vectorized states
+against S independent serial runs.
+
+Batch layout: train batches stack per-seed streams as ``[S, B, ...]``
+(``[G, S, B, ...]`` for the scan-chained variant); eval shares one batch
+across seeds (``in_axes=(0, 0, None)``) because eval order is
+deterministic and identical for every seed.
+
+Composition limits: the fused Pallas kernels dispatch through
+``shard_map`` (ops/fused_conv1.py), which has no batching rule — the
+vectorized path requires the (default) XLA model path; the Trainer-level
+runner (``train/sweep.py``) enforces this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .steps import (
+    TrainState,
+    _eval_step_body,
+    _train_step_body,
+    audio_to_float,
+)
+
+__all__ = [
+    "create_vectorized_state",
+    "make_vectorized_train_step",
+    "make_vectorized_multi_train_step",
+    "make_vectorized_eval_step",
+    "state_for_seed",
+    "stack_seed_states",
+    "multi_seed_epoch",
+]
+
+
+def create_vectorized_state(
+    model,
+    tx: optax.GradientTransformation,
+    example_image: jnp.ndarray,
+    seeds: Sequence[int],
+) -> TrainState:
+    """A ``TrainState`` whose every leaf carries a leading ``[S]`` seed axis.
+
+    Each seed initializes exactly as :func:`steps.create_train_state` with
+    that seed would (same key split, same init distribution draws), so
+    ``state_for_seed(vstate, i)`` equals the serial init for ``seeds[i]``.
+    """
+    keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
+
+    def init_one(rng: jax.Array) -> TrainState:
+        init_rng, rng = jax.random.split(rng)
+        variables = model.init(init_rng, example_image, train=False)
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    return jax.jit(jax.vmap(init_one))(keys)
+
+
+def state_for_seed(vstate: TrainState, i: int) -> TrainState:
+    """Slice seed ``i`` out of a vectorized state (device-side gather)."""
+    return jax.tree.map(lambda leaf: leaf[i], vstate)
+
+
+def stack_seed_states(states: Sequence[TrainState]) -> TrainState:
+    """Inverse of :func:`state_for_seed`: stack serial states along seed 0."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+
+def make_vectorized_train_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """One optimizer step for ALL seeds: state ``[S]``-stacked, batch
+    ``[S, B, ...]`` (per-seed data streams)."""
+    body = jax.vmap(
+        _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    )
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_vectorized_multi_train_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+):
+    """G chained steps × S seeds per dispatch; batches ``[G, S, B, ...]``.
+
+    The scan axis is OUTSIDE the vmap: each tick advances every seed one
+    step, so per-seed histories interleave exactly as G serial dispatches
+    of :func:`make_vectorized_train_step` would.  Stats stack ``[G, S]``.
+    """
+    body = jax.vmap(
+        _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    )
+
+    def multi_step(vstate: TrainState, batches: Dict[str, jnp.ndarray]):
+        return jax.lax.scan(body, vstate, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def make_vectorized_eval_step(model, transform):
+    """Evaluate ONE shared batch under every seed's params in one dispatch.
+
+    Eval data order is deterministic and seed-independent, so the batch is
+    broadcast (``in_axes=(0, 0, None)``) and every result field gains a
+    leading ``[S]`` axis.
+    """
+    body = jax.vmap(_eval_step_body(model, transform), in_axes=(0, 0, None))
+    return jax.jit(body)
+
+
+def multi_seed_epoch(
+    loaders: Sequence, epoch: int
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Zip S per-seed loader epochs into ``[S, B, ...]`` stacked batches.
+
+    Each loader carries its own shuffle seed, so stream ``i`` reproduces
+    the data order of the serial run for ``seeds[i]``.  All loaders iterate
+    the same dataset with the same batch size and ``drop_last``, so the
+    streams are equal length by construction.
+    """
+    iters = [ld.epoch(epoch) for ld in loaders]
+    while True:
+        batches = []
+        for it in iters:
+            batches.append(next(it, None))
+        stops = [b is None for b in batches]
+        if all(stops):
+            return
+        if any(stops):  # pragma: no cover - loaders are same-length
+            raise RuntimeError(
+                "per-seed loaders yielded different batch counts"
+            )
+        yield jax.tree.map(lambda *xs: np.stack(xs), *batches)

@@ -118,6 +118,7 @@ def default_config() -> DotDict:
         fsdp_min_bytes=2**14,
         pp_stages=1,
         pp_microbatches=2,
+        vmap_seeds=False,
     )
 
 

@@ -1,0 +1,233 @@
+"""End-to-end tests for the grid-vectorized (vmap over seeds) sweep path.
+
+The reference trains every sweep seed serially (train_classifier.py:1147);
+`--vmap-seeds` folds all seeds of a grid config into one jitted program
+(train/vectorized.py + train/sweep.py).  These tests drive the full
+experiment driver and lock the vectorized results against the serial grid.
+"""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.utils.config import default_config
+
+
+def _write_wav(path, samples, sr=22050):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        pcm = np.clip(samples * 32767, -32768, 32767).astype("<i2")
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake")
+    rng = np.random.RandomState(0)
+    sr = 22050
+    for dirname, kind in (("A_real", "tone"), ("B_fbmelgan", "noise")):
+        d = root / dirname
+        d.mkdir()
+        for i in range(4):
+            t = np.arange(4 * sr) / sr
+            if kind == "tone":
+                x = 0.5 * np.sin(2 * np.pi * (300 + 50 * i) * t)
+            else:
+                x = 0.3 * rng.randn(4 * sr)
+            _write_wav(d / f"clip{i}.wav", x.astype(np.float32), sr)
+    return root
+
+
+def _base_args(corpus, tmp_path_factory, subdir):
+    log_dir = str(tmp_path_factory.mktemp(subdir))
+    a = default_config()
+    a.update(
+        data_path=str(corpus),
+        save_path=str(tmp_path_factory.mktemp(subdir + "_meta")),
+        data_prefix=str(corpus) + "/fake_22050_22050_0.7_fbmelgan",
+        log_dir=log_dir,
+        transform="packets",
+        wavelet="haar",
+        num_of_scales=256,
+        log_scale=True,
+        power=2.0,
+        sample_rate=22050,
+        seconds=1,
+        batch_size=8,
+        epochs=1,
+        learning_rate=4e-4,
+        weight_decay=1e-3,
+        model="modules",
+        module="DCNN",
+        kernel1=3,
+        ochannels1=8,
+        ochannels2=8,
+        ochannels3=12,
+        ochannels4=16,
+        ochannels5=4,
+        flattend_size=320,
+        time_dim_add=1,
+        validation_interval=1,
+        ckpt_every=1,
+        calc_normalization=True,
+        only_use=["real", "fbmelgan"],
+        limit_train=(100, 100, 100),
+        cross_data_path=None,
+        get_details=False,
+        seed=0,
+    )
+    os.makedirs(log_dir + "/models", exist_ok=True)
+    os.makedirs(log_dir + "/norms", exist_ok=True)
+    return a
+
+
+class TestVectorizedSweep:
+    def test_matches_serial_grid(self, corpus, tmp_path_factory, eight_devices):
+        """Vectorized 2-seed training equals two serial runs exactly:
+        same final params, same data order, same snapshots layout."""
+        import jax
+
+        from audiodeepfake_detection_tpu.train.experiment import (
+            run_experiment,
+            run_experiment_vectorized,
+        )
+
+        serial = []
+        a_serial = _base_args(corpus, tmp_path_factory, "serial")
+        for s in (0, 1):
+            a = a_serial.copy()
+            a.seed = s
+            serial.append(run_experiment(a))
+
+        a_vec = _base_args(corpus, tmp_path_factory, "vec")
+        # same save_path so the dataset index caches are shared is NOT
+        # required; each run computes its own norm stats from the same data
+        group = []
+        for s in (0, 1):
+            a = a_vec.copy()
+            a.seed = s
+            group.append(a)
+        shadows = run_experiment_vectorized(group)
+
+        for sh, ser in zip(shadows, serial):
+            assert os.path.exists(sh.snapshot_path)
+            assert f"_{sh.args.seed}.pt" in os.path.basename(sh.snapshot_path)
+            # same data, same semantics: per-step losses agree tightly
+            s_loss = np.array([row[2] for row in sh.loss_list])
+            r_loss = np.array([row[2] for row in ser.loss_list])
+            np.testing.assert_allclose(s_loss, r_loss, rtol=1e-4)
+            # vmapped convs reassociate fp32 accumulation and Adam's
+            # m/sqrt(v) turns ~1e-7 gradient noise into a full ±lr update
+            # for elements whose near-zero gradient flips sign, so param
+            # parity is bounded by the Adam drift cap (steps x lr = 8e-4;
+            # step-level parity is locked at 1e-6 in tests/test_vectorized)
+            drift_cap = 2 * len(s_loss) * float(sh.args.learning_rate)
+            jax.tree.map(
+                lambda v, w: np.testing.assert_allclose(
+                    np.asarray(v), np.asarray(w), rtol=0, atol=drift_cap
+                ),
+                sh.state.params,
+                ser.state.params,
+            )
+            jax.tree.map(
+                lambda v, w: np.testing.assert_allclose(
+                    np.asarray(v), np.asarray(w), rtol=1e-4, atol=1e-4
+                ),
+                sh.state.batch_stats,
+                ser.state.batch_stats,
+            )
+            assert len(sh.test_results) == 4
+            # the tiny tone-vs-noise task is separable; both paths solve it
+            assert sh.test_results[0] == ser.test_results[0]
+
+    def test_driver_vmap_seeds_flag(self, corpus, tmp_path_factory, eight_devices):
+        """`--vmap-seeds` through main(): grid groups by non-seed config,
+        trains each group vectorized, emits per-seed snapshots+results."""
+        from audiodeepfake_detection_tpu.train.experiment import main
+
+        a = _base_args(corpus, tmp_path_factory, "cli")
+        cfg = os.path.join(a.log_dir, "grid_cfg.py")
+        with open(cfg, "w") as f:
+            keys = (
+                "data_path save_path data_prefix log_dir transform wavelet "
+                "num_of_scales log_scale power sample_rate seconds batch_size "
+                "epochs learning_rate weight_decay model module kernel1 "
+                "ochannels1 ochannels2 ochannels3 ochannels4 ochannels5 "
+                "flattend_size time_dim_add validation_interval ckpt_every "
+                "calc_normalization only_use limit_train cross_data_path "
+                "get_details"
+            ).split()
+            entries = ",\n        ".join(
+                f"{k}=[{getattr(a, k)!r}]" for k in keys
+            )
+            f.write(
+                "def get_config():\n    return dict(\n        "
+                + entries
+                + ",\n    )\n"
+            )
+
+        main(
+            [
+                "--enable-gs",
+                "--config",
+                cfg,
+                "--init-seeds",
+                "0",
+                "1",
+                "--vmap-seeds",
+                "--log-dir",
+                a.log_dir,
+            ]
+        )
+        snaps = [
+            f
+            for f in os.listdir(a.log_dir + "/models")
+            if f.endswith(".pt")
+        ]
+        assert len(snaps) == 2
+        assert any(f.endswith("_0.pt") for f in snaps)
+        assert any(f.endswith("_1.pt") for f in snaps)
+        results = [
+            f for f in os.listdir(a.log_dir) if f.endswith("_results.npy")
+        ]
+        assert results, "print_results should write the results tensor"
+
+
+class TestSweepGuards:
+    def test_fused_kernels_rejected(self, tmp_path):
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.ops.wpt import packet_image
+        from audiodeepfake_detection_tpu.train.sweep import VectorizedSeedSweep
+        from audiodeepfake_detection_tpu.train.trainer import Trainer
+
+        args = default_config()
+        args.update(seed=0, learning_rate=4e-4, weight_decay=1e-3)
+        model = DCNN(
+            time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+            ochannels4=8, ochannels5=2, fused_layer1=True,
+        )
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=8, log_scale=True)
+
+        sh = Trainer(model, transform, args, snapshot_path=str(tmp_path / "s"))
+        with pytest.raises(ValueError, match="fused_layer1"):
+            VectorizedSeedSweep([sh], [None])
+
+    def test_loader_count_mismatch(self, tmp_path):
+        from audiodeepfake_detection_tpu.models import DCNN
+        from audiodeepfake_detection_tpu.train.sweep import VectorizedSeedSweep
+        from audiodeepfake_detection_tpu.train.trainer import Trainer
+
+        args = default_config()
+        args.update(seed=0, learning_rate=4e-4, weight_decay=1e-3)
+        sh = Trainer(
+            DCNN(time_dim=1), lambda a: a, args,
+            snapshot_path=str(tmp_path / "s"),
+        )
+        with pytest.raises(ValueError, match="one train loader per"):
+            VectorizedSeedSweep([sh], [])

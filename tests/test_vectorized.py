@@ -1,0 +1,206 @@
+"""Grid-vectorized (multi-seed vmap) training: exact parity with serial runs.
+
+The reference trains each sweep seed serially (utils.py:505-513 seeds are a
+grid axis; train_classifier.py:1147 loops grid points); train/vectorized.py
+folds the seed axis into one jitted program.  These tests lock every piece
+— init, single step, scan-chained steps, eval — against S independent
+serial runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.models import DCNN
+from audiodeepfake_detection_tpu.ops.wpt import packet_image
+from audiodeepfake_detection_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from audiodeepfake_detection_tpu.train.vectorized import (
+    create_vectorized_state,
+    make_vectorized_eval_step,
+    make_vectorized_multi_train_step,
+    make_vectorized_train_step,
+    multi_seed_epoch,
+    stack_seed_states,
+    state_for_seed,
+)
+
+SEEDS = [0, 1, 7]
+
+
+def _model():
+    return DCNN(
+        time_dim=1, ochannels1=4, ochannels2=4, ochannels3=6,
+        ochannels4=8, ochannels5=2, with_dropout=False,
+    )
+
+
+def _transform(audio):
+    return packet_image(audio, "haar", level=8, log_scale=True)
+
+
+def _seed_batches(n_steps, batch=4):
+    """Per-seed batch streams, distinct per seed (like per-seed shuffles)."""
+    streams = []
+    for s in SEEDS:
+        rng = np.random.RandomState(100 + s)
+        streams.append(
+            [
+                {
+                    "audio": rng.randn(batch, 1, 2048).astype(np.float32),
+                    "label": rng.randint(0, 2, batch).astype(np.int32),
+                }
+                for _ in range(n_steps)
+            ]
+        )
+    return streams
+
+
+def _stack_step(streams, t):
+    return jax.tree.map(
+        lambda *xs: np.stack(xs), *[st[t] for st in streams]
+    )
+
+
+def _assert_tree_close(a, b, rtol=1e-6, atol=1e-6):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol
+        ),
+        a,
+        b,
+    )
+
+
+class TestVectorizedParity:
+    def test_init_matches_serial(self):
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        vstate = create_vectorized_state(model, tx, img, SEEDS)
+        for i, s in enumerate(SEEDS):
+            serial = create_train_state(model, tx, img, seed=s)
+            _assert_tree_close(
+                state_for_seed(vstate, i).params, serial.params, atol=0
+            )
+
+    def test_train_steps_match_serial(self):
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        streams = _seed_batches(3)
+
+        serial_step = make_train_step(model, _transform, tx)
+        finals = []
+        for i, s in enumerate(SEEDS):
+            st = create_train_state(model, tx, img, seed=s)
+            for b in streams[i]:
+                st, _ = serial_step(st, b)
+            finals.append(st)
+
+        vstate = create_vectorized_state(model, tx, img, SEEDS)
+        vstep = make_vectorized_train_step(model, _transform, tx)
+        for t in range(3):
+            vstate, stats = vstep(vstate, _stack_step(streams, t))
+            assert stats["loss"].shape == (len(SEEDS),)
+
+        for i in range(len(SEEDS)):
+            got = state_for_seed(vstate, i)
+            _assert_tree_close(got.params, finals[i].params)
+            _assert_tree_close(got.batch_stats, finals[i].batch_stats)
+            _assert_tree_close(got.opt_state, finals[i].opt_state)
+            assert int(got.step) == 3
+
+    def test_multi_step_matches_chained_single(self):
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        streams = _seed_batches(4)
+
+        v_single = create_vectorized_state(model, tx, img, SEEDS)
+        vstep = make_vectorized_train_step(model, _transform, tx)
+        for t in range(4):
+            v_single, _ = vstep(v_single, _stack_step(streams, t))
+
+        v_multi = create_vectorized_state(model, tx, img, SEEDS)
+        vmulti = make_vectorized_multi_train_step(model, _transform, tx)
+        group = jax.tree.map(
+            lambda *xs: np.stack(xs), *[_stack_step(streams, t) for t in range(4)]
+        )
+        v_multi, stats = vmulti(v_multi, group)
+        assert stats["loss"].shape == (4, len(SEEDS))
+
+        _assert_tree_close(v_single.params, v_multi.params, rtol=1e-6)
+        _assert_tree_close(v_single.batch_stats, v_multi.batch_stats)
+
+    def test_eval_matches_serial(self):
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        vstate = create_vectorized_state(model, tx, img, SEEDS)
+        # one training step first so batch_stats differ across seeds
+        streams = _seed_batches(1)
+        vstep = make_vectorized_train_step(model, _transform, tx)
+        vstate, _ = vstep(vstate, _stack_step(streams, 0))
+
+        rng = np.random.RandomState(5)
+        batch = {
+            "audio": rng.randn(4, 1, 2048).astype(np.float32),
+            "label": rng.randint(0, 2, 4).astype(np.int32),
+            "weight": np.array([1, 1, 1, 0], np.float32),
+        }
+        veval = make_vectorized_eval_step(model, _transform)
+        vres = veval(vstate.params, vstate.batch_stats, batch)
+
+        serial_eval = make_eval_step(model, _transform)
+        for i in range(len(SEEDS)):
+            st = state_for_seed(vstate, i)
+            sres = serial_eval(st.params, st.batch_stats, batch)
+            _assert_tree_close(
+                jax.tree.map(lambda leaf: leaf[i], vres), sres, rtol=1e-5
+            )
+
+    def test_stack_extract_roundtrip(self):
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        serials = [
+            create_train_state(model, tx, img, seed=s) for s in SEEDS
+        ]
+        vstate = stack_seed_states(serials)
+        for i in range(len(SEEDS)):
+            _assert_tree_close(
+                state_for_seed(vstate, i).params, serials[i].params, atol=0
+            )
+
+
+class TestMultiSeedEpoch:
+    class _FakeLoader:
+        def __init__(self, seed, n_batches):
+            self.seed, self.n = seed, n_batches
+
+        def epoch(self, epoch):
+            rng = np.random.RandomState(self.seed * 1000 + epoch)
+            for _ in range(self.n):
+                yield {
+                    "audio": rng.randn(2, 1, 8).astype(np.float32),
+                    "label": rng.randint(0, 2, 2).astype(np.int32),
+                }
+
+    def test_stacks_per_seed_streams(self):
+        loaders = [self._FakeLoader(s, 3) for s in SEEDS]
+        got = list(multi_seed_epoch(loaders, epoch=0))
+        assert len(got) == 3
+        assert got[0]["audio"].shape == (len(SEEDS), 2, 1, 8)
+        # stream i reproduces loader i's own order
+        for i, s in enumerate(SEEDS):
+            want = list(self._FakeLoader(s, 3).epoch(0))
+            for t in range(3):
+                np.testing.assert_array_equal(
+                    got[t]["audio"][i], want[t]["audio"]
+                )
+
+    def test_uneven_streams_raise(self):
+        loaders = [self._FakeLoader(0, 3), self._FakeLoader(1, 2)]
+        with pytest.raises(RuntimeError, match="different batch counts"):
+            list(multi_seed_epoch(loaders, epoch=0))
