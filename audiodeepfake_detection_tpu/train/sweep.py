@@ -17,11 +17,16 @@ Parity: each seed sees its own init, PRNG stream, optimizer moments, BN
 running stats and data order (per-seed shuffled loaders), so the final
 per-seed states equal the serial grid's (locked by tests/test_vectorized.py
 at step level and tests/test_sweep.py end-to-end).
+
+Memory scales with S: activations dominate (the DCNN's layer-1 tensor is
+~100 MB/seed at batch 128 bf16, ~2x that fp32), so large-batch fp32-parity
+sweeps may need a smaller ``batch_size`` or the bf16 speed mode
+(``dtype: "bfloat16"``) to fit S seeds in HBM.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import numpy as np

@@ -39,19 +39,14 @@ runner (``train/sweep.py``) enforces this.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .steps import (
-    TrainState,
-    _eval_step_body,
-    _train_step_body,
-    audio_to_float,
-)
+from .steps import TrainState, _eval_step_body, _train_step_body
 
 __all__ = [
     "create_vectorized_state",
