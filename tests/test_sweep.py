@@ -144,6 +144,39 @@ class TestVectorizedSweep:
             # the tiny tone-vs-noise task is separable; both paths solve it
             assert sh.test_results[0] == ser.test_results[0]
 
+    def test_steps_per_call_chaining(self, corpus, tmp_path_factory, eight_devices):
+        """steps_per_call>1 drives the scan-chained vectorized dispatch
+        (sweep._run_epoch flush_group); results equal the unchained run."""
+        import jax
+
+        from audiodeepfake_detection_tpu.train.experiment import (
+            run_experiment_vectorized,
+        )
+
+        def run(subdir, spc):
+            a = _base_args(corpus, tmp_path_factory, subdir)
+            a.steps_per_call = spc
+            group = []
+            for s in (0, 1):
+                g = a.copy()
+                g.seed = s
+                group.append(g)
+            return run_experiment_vectorized(group)
+
+        plain = run("spc1", 1)
+        chained = run("spc2", 2)
+        for sh, ch in zip(plain, chained):
+            s_loss = np.array([row[2] for row in sh.loss_list])
+            c_loss = np.array([row[2] for row in ch.loss_list])
+            np.testing.assert_allclose(s_loss, c_loss, rtol=1e-4)
+            jax.tree.map(
+                lambda v, w: np.testing.assert_allclose(
+                    np.asarray(v), np.asarray(w), rtol=0, atol=1e-4
+                ),
+                sh.state.params,
+                ch.state.params,
+            )
+
     def test_driver_vmap_seeds_flag(self, corpus, tmp_path_factory, eight_devices):
         """`--vmap-seeds` through main(): grid groups by non-seed config,
         trains each group vectorized, emits per-seed snapshots+results."""
