@@ -34,6 +34,7 @@ import numpy as np
 from .steps import audio_to_float, stack_batches
 from .vectorized import (
     create_vectorized_state,
+    make_vectorized_eval_step,
     make_vectorized_multi_train_step,
     make_vectorized_train_step,
     multi_seed_epoch,
@@ -100,6 +101,7 @@ class VectorizedSeedSweep:
         )
         self.vstate = None
         self.step_total = 0
+        self._veval = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -210,10 +212,114 @@ class VectorizedSeedSweep:
                     )
         print(f"epoch {epoch + 1}: {timer.summary()}", flush=True)
 
+    # ------------------------------------------------------------ evaluation
+
+    def _vectorized_eval(self, loader, name: str) -> List[tuple]:
+        """ONE pass over ``loader`` evaluates every seed.
+
+        Eval order is deterministic and seed-independent, so batches are
+        shared and the vmapped eval step (in_axes ``(0, 0, None)``) scores
+        all S parameter sets per dispatch — an S× reduction of eval passes
+        vs the serial grid.  Metric finalization reuses the exact Trainer
+        path per seed slice (``Trainer._eval_finalize``).  Returns per-seed
+        ``(acc, eer)``, index-aligned with ``self.shadows``.
+        """
+        from ..parallel.mesh import shard_batch
+
+        if self._veval is None:
+            self._veval = make_vectorized_eval_step(self.model, self.transform)
+        ok = cnt = None
+        device_results = []  # per batch: (y, out_max, ok_mask, scores), [S, B]
+        host_batches = []
+        for batch in loader.epoch(0, shuffle=False):
+            db = shard_batch(self.mesh, batch)  # async H2D, shared by seeds
+            res = self._veval(
+                self.vstate.params, self.vstate.batch_stats, db
+            )
+            ok = res["ok_per_label"] if ok is None else ok + res["ok_per_label"]
+            cnt = (
+                res["count_per_label"]
+                if cnt is None
+                else cnt + res["count_per_label"]
+            )
+            device_results.append(
+                (res["y"], res["out_max"], res["ok_mask"], res["scores"])
+            )
+            host_batches.append(
+                (
+                    np.asarray(
+                        batch.get("weight", np.ones(len(batch["label"])))
+                    ),
+                    batch.get("index"),
+                )
+            )
+        if ok is None:
+            return [(0.0, 0.0) for _ in self.shadows]
+        # fetch stacked results once, then slice per seed on the host
+        ok = np.asarray(ok)  # [S, L]
+        cnt = np.asarray(cnt)
+        fetched = [
+            tuple(np.asarray(arr) for arr in res) for res in device_results
+        ]
+        out = []
+        for i, sh in enumerate(self.shadows):
+            print(f"--- seed {sh.args.seed} ---")
+            per_seed = [
+                (y[i], om[i], okm[i], sc[i]) for (y, om, okm, sc) in fetched
+            ]
+            out.append(
+                sh._eval_finalize(name, ok[i], cnt[i], per_seed, host_batches)
+            )
+        return out
+
+    def _run_validation(self, epoch: int) -> None:
+        """Trainer._run_validation, one vectorized pass per loader."""
+        known = self._vectorized_eval(self.shadows[0].val_loader, "val known")
+        unknown = [(0.0, 0.0)] * len(self.shadows)
+        if self.shadows[0].cross_loader_val is not None:
+            unknown = self._vectorized_eval(
+                self.shadows[0].cross_loader_val, "val unknown"
+            )
+        for sh, (va, ve), (ca, ce) in zip(self.shadows, known, unknown):
+            if sh.writer is not None:
+                sh.writer.add_scalar("accuracy/validation", va, self.step_total)
+                sh.writer.add_scalar("eer/validation", ve, self.step_total)
+                sh.writer.add_scalar(
+                    "accuracy/cross_validation", ca, self.step_total
+                )
+                sh.writer.add_scalar(
+                    "eer/cross_validation", ce, self.step_total
+                )
+                sh.writer.add_scalar("epochs", epoch, self.step_total)
+
+    def _testing(self) -> None:
+        """Trainer.testing, one vectorized pass per loader."""
+        known = self._vectorized_eval(
+            self.shadows[0].test_loader, "test known"
+        )
+        unknown = [(0.0, 0.0)] * len(self.shadows)
+        if self.shadows[0].cross_loader_test is not None:
+            unknown = self._vectorized_eval(
+                self.shadows[0].cross_loader_test, "test unknown"
+            )
+        for sh, (ta, te), (ca, ce) in zip(self.shadows, known, unknown):
+            sh.test_results = (ta, te, ca, ce)
+            if sh.writer is not None:
+                sh.writer.add_scalar("accuracy/test", ta, self.step_total)
+                sh.writer.add_scalar("eer/test", te, self.step_total)
+                sh.writer.add_scalar("accuracy/cross_test", ca, self.step_total)
+                sh.writer.add_scalar("eer/cross_test", ce, self.step_total)
+            print(
+                f"seed {sh.args.seed} test results: "
+                f"known acc {ta * 100:2.2f} %, known eer {te:.3f}, "
+                f"unknown acc {ca * 100:2.2f} %, unknown eer {ce:.3f}"
+            )
+
     def train(self, max_epochs: int) -> None:
         """Epoch loop with the reference's ckpt/validation cadence
         (reference train_classifier.py:1021-1053), vectorized over seeds;
-        validation / checkpoints / testing run through the shadows."""
+        checkpoints run through the shadows, validation/testing through
+        one vectorized eval pass per loader."""
         args = self.args
         for epoch in range(max_epochs):
             self._run_epoch(epoch)
@@ -228,18 +334,7 @@ class VectorizedSeedSweep:
             if (epoch > 0 and epoch % args.validation_interval == 0) or (
                 epoch == 0 and args.validation_interval == 1
             ):
-                for sh in self.shadows:
-                    print(f"--- seed {sh.args.seed} ---")
-                    sh._run_validation(epoch)
+                self._run_validation(epoch)
             if epoch == max_epochs - 1:
                 print("Training done, now testing...")
-                for sh in self.shadows:
-                    print(f"--- seed {sh.args.seed} ---")
-                    sh.test_results = sh.testing()
-                    tr = sh.test_results
-                    print(
-                        f"test results: known acc {tr[0] * 100:2.2f} %, "
-                        f"known eer {tr[1]:.3f}, "
-                        f"unknown acc {tr[2] * 100:2.2f} %, "
-                        f"unknown eer {tr[3]:.3f}"
-                    )
+                self._testing()

@@ -482,6 +482,20 @@ class Trainer:
             )
             consume(res, batch)
 
+        return self._eval_finalize(
+            name, ok_label, count_label, device_results, host_batches
+        )
+
+    def _eval_finalize(
+        self, name, ok_label, count_label, device_results, host_batches
+    ) -> Tuple[float, float]:
+        """Host-side metric computation from accumulated eval results.
+
+        ``device_results``: per-batch ``(y, out_max, ok_mask, scores)``
+        arrays; ``host_batches``: per-batch ``(weight, index)``.  Factored
+        out of :meth:`val_test_loop` so the vectorized sweep
+        (train/sweep.py) can reuse the exact metric path per seed slice.
+        """
         if ok_label is None:
             return 0.0, 0.0
         ok_label = np.asarray(ok_label)

@@ -161,6 +161,48 @@ class TestVectorizedParity:
                 jax.tree.map(lambda leaf: leaf[i], vres), sres, rtol=1e-5
             )
 
+    def test_lcnn_vectorized_step(self):
+        """Model generality: the BLSTM's lax.scan vmaps over the seed axis
+        like the conv stacks do (scan gains a leading batch dim)."""
+        from audiodeepfake_detection_tpu.models import LCNN
+
+        model = LCNN(lstm_channels=32)  # = num_of_scales at level 5
+        tx = make_optimizer(4e-4, 1e-3)
+
+        def transform(audio):
+            return packet_image(audio, "haar", level=5, log_scale=True)
+
+        seeds = [0, 3]
+        img = transform(jnp.zeros((2, 1, 2048)))
+        streams = _seed_batches(1)[:2]
+
+        serial_step = make_train_step(model, transform, tx)
+        finals = []
+        for i, s in enumerate(seeds):
+            st = create_train_state(model, tx, img, seed=s)
+            st, _ = serial_step(st, streams[i][0])
+            finals.append(st)
+
+        vstate = create_vectorized_state(model, tx, img, seeds)
+        vstep = make_vectorized_train_step(model, transform, tx)
+        stacked = jax.tree.map(
+            lambda *xs: np.stack(xs), *[st[0] for st in streams]
+        )
+        vstate, stats = vstep(vstate, stacked)
+        assert stats["loss"].shape == (2,)
+        for i in range(2):
+            got = state_for_seed(vstate, i)
+            # vmapping the BLSTM's scan reassociates its einsums; Adam
+            # turns the ~1e-7 noise on near-zero gradients into up to a
+            # full +-lr update, so params are bounded by the drift cap
+            # (1 step x lr = 4e-4); batch_stats bypass Adam and stay tight
+            _assert_tree_close(
+                got.params, finals[i].params, rtol=0, atol=5e-4
+            )
+            _assert_tree_close(
+                got.batch_stats, finals[i].batch_stats, rtol=1e-5, atol=1e-5
+            )
+
     def test_stack_extract_roundtrip(self):
         model, tx = _model(), make_optimizer(4e-4, 1e-3)
         img = _transform(jnp.zeros((2, 1, 2048)))
