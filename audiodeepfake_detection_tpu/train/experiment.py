@@ -108,8 +108,11 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
         "--pp-microbatches", type=int, default=d.pp_microbatches
     )
     # grid-vectorized sweeps (train/vectorized.py): all seeds of each grid
-    # config trained in ONE jitted program (vmap over the seed axis).
+    # config trained in ONE jitted program (vmap over the seed axis);
+    # --vmap-hparams additionally folds the learning-rate/weight-decay grid
+    # axes into the same program (per-slice optimizer hyperparams).
     parser.add_argument("--vmap-seeds", action="store_true")
+    parser.add_argument("--vmap-hparams", action="store_true")
     # speed mode: bf16 activations + Pallas fused first-layer kernels
     # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
     # Tri-state: off / train (kernel for training only) / always (eval
@@ -375,9 +378,11 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
 def run_experiment_vectorized(args_list, mesh=None):
     """One grid config × S seeds, trained in ONE vectorized program.
 
-    ``args_list`` holds the grid points of a single hyper-parameter config
-    that differ only in ``seed``.  Setup that is seed-independent (datasets,
-    normalization statistics, transform, model definition) happens once;
+    ``args_list`` holds grid points that differ only in ``seed`` (and,
+    with ``--vmap-hparams``, ``learning_rate``/``weight_decay`` — folded
+    in as per-slice optimizer hyperparams).  Setup that is
+    slice-independent (datasets, normalization statistics, transform,
+    model definition) happens once;
     per-seed shadow Trainers handle snapshots / metrics / tensorboard and
     the :class:`~.sweep.VectorizedSeedSweep` drives training with every
     tensor carrying a leading seed axis (see train/vectorized.py).  The
@@ -386,7 +391,6 @@ def run_experiment_vectorized(args_list, mesh=None):
     from .sweep import VectorizedSeedSweep
 
     base = args_list[0].copy()
-    seeds = [int(a.seed or 0) for a in args_list]
     if base.features != "none" and base.model != "lcnn":
         raise NotImplementedError(
             f"LFCC features are currently not implemented for {base.model}."
@@ -473,7 +477,14 @@ def run_experiment_vectorized(args_list, mesh=None):
                 **shard_kw,
             )
         )
-    print(f"vmap_seeds: training seeds {seeds} in one vectorized program")
+    slices = [
+        (int(a.seed or 0), float(a.learning_rate), float(a.weight_decay))
+        for a in args_list
+    ]
+    print(
+        "vmap_seeds: training (seed, lr, wd) slices "
+        f"{slices} in one vectorized program"
+    )
     VectorizedSeedSweep(shadows, train_loaders).train(base.epochs)
     return shadows
 
@@ -538,14 +549,19 @@ def main(argv=None) -> None:
     model_file = "defaultmodel"
 
     if (
-        args.get("vmap_seeds")
+        (args.get("vmap_seeds") or args.get("vmap_hparams"))
         and griderator is not None
         and not (args.only_testing or args.only_ig)
     ):
-        # materialize every grid point, then group by the non-seed config:
-        # each group's seeds train in ONE vectorized program.  Groups are
-        # processed in first-appearance order, so each seed's result list
-        # keeps the serial loop's per-seed config order.
+        # materialize every grid point, then group by the non-vectorized
+        # config axes: each group trains in ONE vectorized program.
+        # --vmap-hparams also folds the lr/wd grid axes into the program
+        # (per-slice optimizer hyperparams, train/vectorized.py).  Groups
+        # are processed in first-appearance order, so each seed's result
+        # list keeps the serial loop's per-seed config order.
+        vec_axes = {"seed"}
+        if args.get("vmap_hparams"):
+            vec_axes |= {"learning_rate", "weight_decay"}
         configs = []
         for _exp in range(num_exp):
             args, _ = griderator.update_step(args)
@@ -553,7 +569,9 @@ def main(argv=None) -> None:
         groups: Dict[str, list] = {}
         for a in configs:
             key = repr(
-                sorted((k, repr(v)) for k, v in a.items() if k != "seed")
+                sorted(
+                    (k, repr(v)) for k, v in a.items() if k not in vec_axes
+                )
             )
             groups.setdefault(key, []).append(a)
         for group in groups.values():
@@ -568,7 +586,7 @@ def main(argv=None) -> None:
         print_results(configs[-1], exp_results, griderator, model_file)
         return
 
-    if args.get("vmap_seeds"):
+    if args.get("vmap_seeds") or args.get("vmap_hparams"):
         print(
             "vmap_seeds: nothing to vectorize "
             "(needs --enable-gs training mode); running serially."

@@ -65,9 +65,25 @@ class VectorizedSeedSweep:
         self.transform = lead.transform
         self.args = lead.args
         self.mesh = lead.mesh
-        self.tx = lead.tx
         self.steps_per_call = lead.steps_per_call
         self.seeds = [int(sh.args.seed or 0) for sh in self.shadows]
+
+        # configs may differ in lr / weight decay as well as seed (the
+        # driver's --vmap-hparams grouping): per-slice optimizer scalars
+        # then live in opt_state.hyperparams (make_hyper_optimizer) so one
+        # program trains the whole lr x wd x seed block.  NB such runs'
+        # orbax opt_state uses the inject_hyperparams layout; `.pt`
+        # weight snapshots are unaffected.
+        lrs = [float(sh.args.learning_rate) for sh in self.shadows]
+        wds = [float(sh.args.weight_decay) for sh in self.shadows]
+        if len(set(lrs)) > 1 or len(set(wds)) > 1:
+            from .vectorized import make_hyper_optimizer
+
+            self.tx = make_hyper_optimizer(lrs[0], wds[0])
+            self._hyper = {"learning_rate": lrs, "weight_decay": wds}
+        else:
+            self.tx = lead.tx
+            self._hyper = None
 
         # Composition guards: the fused Pallas kernels dispatch through
         # shard_map (no vmap batching rule), and the sharded/pipelined
@@ -117,7 +133,7 @@ class VectorizedSeedSweep:
             audio_to_float(jnp.asarray(example_batch["audio"][0][:2]))
         )
         self.vstate = create_vectorized_state(
-            self.model, self.tx, image, self.seeds
+            self.model, self.tx, image, self.seeds, hyperparams=self._hyper
         )
         self.vstate = self.vstate._replace(
             params=replicate(self.mesh, self.vstate.params),

@@ -46,10 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .steps import TrainState, _eval_step_body, _train_step_body
+from .steps import TrainState, _eval_step_body, _train_step_body, make_optimizer
 
 __all__ = [
     "create_vectorized_state",
+    "make_hyper_optimizer",
     "make_vectorized_train_step",
     "make_vectorized_multi_train_step",
     "make_vectorized_eval_step",
@@ -59,33 +60,77 @@ __all__ = [
 ]
 
 
+def make_hyper_optimizer(
+    learning_rate: float, weight_decay: float
+) -> optax.GradientTransformation:
+    """:func:`steps.make_optimizer` with lr/wd as OPTIMIZER STATE.
+
+    ``optax.inject_hyperparams`` moves the two scalars out of the closure
+    and into ``opt_state.hyperparams`` — under ``vmap`` each grid slice
+    then carries its own values, so a vectorized program can train
+    configurations that differ in learning rate / weight decay, not just
+    seed (the reference grids over lr lists serially,
+    gridsearch_config.py + train_classifier.py:1147).  The update math is
+    the unchanged torch-Adam-parity chain.
+    """
+    return optax.inject_hyperparams(make_optimizer)(
+        learning_rate=learning_rate, weight_decay=weight_decay
+    )
+
+
 def create_vectorized_state(
     model,
     tx: optax.GradientTransformation,
     example_image: jnp.ndarray,
     seeds: Sequence[int],
+    hyperparams: Dict[str, Sequence[float]] = None,
 ) -> TrainState:
     """A ``TrainState`` whose every leaf carries a leading ``[S]`` seed axis.
 
     Each seed initializes exactly as :func:`steps.create_train_state` with
     that seed would (same key split, same init distribution draws), so
     ``state_for_seed(vstate, i)`` equals the serial init for ``seeds[i]``.
+
+    ``hyperparams`` (requires a :func:`make_hyper_optimizer` ``tx``) gives
+    per-slice optimizer scalars, e.g. ``{"learning_rate": [4e-4, 1e-3]}``
+    — slice ``i`` then trains with its own lr/wd, so the vectorized
+    program covers lr/wd grid axes, not just seeds.
     """
     keys = jnp.stack([jax.random.key(int(s)) for s in seeds])
+    hp = {
+        k: jnp.asarray(v, jnp.float32)
+        for k, v in (hyperparams or {}).items()
+    }
+    for k, v in hp.items():
+        if v.shape != (len(seeds),):
+            raise ValueError(
+                f"hyperparams[{k!r}] must have one value per seed "
+                f"(got shape {v.shape} for {len(seeds)} seeds)"
+            )
 
-    def init_one(rng: jax.Array) -> TrainState:
+    def init_one(rng: jax.Array, hp_one: Dict[str, jnp.ndarray]) -> TrainState:
         init_rng, rng = jax.random.split(rng)
         variables = model.init(init_rng, example_image, train=False)
         params = variables["params"]
+        opt_state = tx.init(params)
+        if hp_one:
+            if not hasattr(opt_state, "hyperparams"):
+                raise ValueError(
+                    "per-slice hyperparams need a make_hyper_optimizer tx "
+                    "(optax.inject_hyperparams state)"
+                )
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams, **hp_one}
+            )
         return TrainState(
             params=params,
             batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             rng=rng,
         )
 
-    return jax.jit(jax.vmap(init_one))(keys)
+    return jax.jit(jax.vmap(init_one))(keys, hp)
 
 
 def state_for_seed(vstate: TrainState, i: int) -> TrainState:

@@ -119,6 +119,7 @@ def default_config() -> DotDict:
         pp_stages=1,
         pp_microbatches=2,
         vmap_seeds=False,
+        vmap_hparams=False,
     )
 
 

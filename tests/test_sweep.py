@@ -230,6 +230,65 @@ class TestVectorizedSweep:
         assert results, "print_results should write the results tensor"
 
 
+class TestVmapHparams:
+    def test_lr_axis_folds_into_one_program(
+        self, corpus, tmp_path_factory, eight_devices, capsys
+    ):
+        """--vmap-hparams groups grid points differing in lr/wd (and seed)
+        into ONE vectorized program with per-slice optimizer hyperparams."""
+        from audiodeepfake_detection_tpu.train.experiment import main
+
+        a = _base_args(corpus, tmp_path_factory, "hp")
+        cfg = os.path.join(a.log_dir, "grid_cfg.py")
+        keys = (
+            "data_path save_path data_prefix log_dir transform wavelet "
+            "num_of_scales log_scale power sample_rate seconds batch_size "
+            "epochs weight_decay model module kernel1 "
+            "ochannels1 ochannels2 ochannels3 ochannels4 ochannels5 "
+            "flattend_size time_dim_add validation_interval ckpt_every "
+            "calc_normalization only_use limit_train cross_data_path "
+            "get_details"
+        ).split()
+        entries = ",\n        ".join(f"{k}=[{getattr(a, k)!r}]" for k in keys)
+        entries += ",\n        learning_rate=[0.0004, 0.001]"
+        with open(cfg, "w") as f:
+            f.write(
+                "def get_config():\n    return dict(\n        "
+                + entries
+                + ",\n    )\n"
+            )
+
+        main(
+            [
+                "--enable-gs",
+                "--config",
+                cfg,
+                "--init-seeds",
+                "0",
+                "1",
+                "--vmap-seeds",
+                "--vmap-hparams",
+                "--log-dir",
+                a.log_dir,
+            ]
+        )
+        out = capsys.readouterr().out
+        # exactly one vectorized program covering all 4 (seed, lr) slices
+        launches = [
+            line for line in out.splitlines() if "in one vectorized" in line
+        ]
+        assert len(launches) == 1
+        for frag in ("0, 0.0004", "0, 0.001", "1, 0.0004", "1, 0.001"):
+            assert f"({frag}" in launches[0]
+        snaps = [
+            f for f in os.listdir(a.log_dir + "/models") if f.endswith(".pt")
+        ]
+        assert len(snaps) == 4
+        # lr and wd are adjacent fields in the snapshot name (wd=0.001)
+        assert sum("_0.0004_0.001_" in f for f in snaps) == 2
+        assert sum("_0.001_0.001_" in f for f in snaps) == 2
+
+
 class TestSweepGuards:
     def test_fused_kernels_rejected(self, tmp_path):
         from audiodeepfake_detection_tpu.models import DCNN

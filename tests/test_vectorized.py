@@ -216,6 +216,82 @@ class TestVectorizedParity:
             )
 
 
+class TestHyperVectorized:
+    """Per-slice optimizer hyperparams: one program trains configs that
+    differ in learning rate / weight decay (the reference grids over lr
+    lists serially)."""
+
+    def test_per_slice_lr_wd_match_serial(self):
+        from audiodeepfake_detection_tpu.train.vectorized import (
+            make_hyper_optimizer,
+        )
+
+        model = _model()
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        lrs = [4e-4, 1e-3]
+        wds = [1e-3, 0.0]
+        seeds = [0, 0]  # same init; only the optimizer differs
+        streams = _seed_batches(2)[:2]
+
+        finals = []
+        for i in range(2):
+            tx_i = make_optimizer(lrs[i], wds[i])
+            st = create_train_state(model, tx_i, img, seed=seeds[i])
+            step_i = make_train_step(model, _transform, tx_i)
+            for b in streams[i]:
+                st, _ = step_i(st, b)
+            finals.append(st)
+
+        htx = make_hyper_optimizer(lrs[0], wds[0])
+        vstate = create_vectorized_state(
+            model, htx, img, seeds,
+            hyperparams={"learning_rate": lrs, "weight_decay": wds},
+        )
+        vstep = make_vectorized_train_step(model, _transform, htx)
+        for t in range(2):
+            vstate, _ = vstep(vstate, _stack_step(streams, t))
+
+        for i in range(2):
+            got = state_for_seed(vstate, i)
+            # Adam drift cap (2 steps x max lr = 2e-3): near-zero gradients
+            # amplify vmap reassociation noise into +-lr-scale updates (see
+            # test_lcnn_vectorized_step); everything else matches tightly
+            _assert_tree_close(
+                got.params, finals[i].params, rtol=0, atol=2.5e-3
+            )
+            # step-2 stats see step-1's (drift-capped) params
+            _assert_tree_close(
+                got.batch_stats, finals[i].batch_stats, rtol=5e-3, atol=1e-4
+            )
+        # the two slices genuinely diverged (different lr/wd)
+        p0 = jax.tree.leaves(state_for_seed(vstate, 0).params)[0]
+        p1 = jax.tree.leaves(state_for_seed(vstate, 1).params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    def test_hyperparams_need_hyper_tx(self):
+        model = _model()
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        with pytest.raises(ValueError, match="make_hyper_optimizer"):
+            create_vectorized_state(
+                model, make_optimizer(4e-4, 1e-3), img, [0, 1],
+                hyperparams={"learning_rate": [4e-4, 1e-3]},
+            )
+
+    def test_hyperparams_length_checked(self):
+        from audiodeepfake_detection_tpu.train.vectorized import (
+            make_hyper_optimizer,
+        )
+
+        model = _model()
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        htx = make_hyper_optimizer(4e-4, 1e-3)
+        with pytest.raises(ValueError, match="one value per seed"):
+            create_vectorized_state(
+                model, htx, img, [0, 1, 2],
+                hyperparams={"learning_rate": [4e-4, 1e-3]},
+            )
+
+
 class TestMultiSeedEpoch:
     class _FakeLoader:
         def __init__(self, seed, n_batches):
