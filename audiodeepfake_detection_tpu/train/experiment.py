@@ -113,6 +113,12 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     # axes into the same program (per-slice optimizer hyperparams).
     parser.add_argument("--vmap-seeds", action="store_true")
     parser.add_argument("--vmap-hparams", action="store_true")
+    # resume training from an existing snapshot at the experiment's own
+    # path (full orbax state when present, .pt weights otherwise).  The
+    # reference saves EPOCHS_RUN but can never continue a run
+    # (train_classifier.py:1028); off by default so re-running an
+    # experiment retrains from scratch like the reference.
+    parser.add_argument("--resume", action="store_true")
     # speed mode: bf16 activations + Pallas fused first-layer kernels
     # (fp32 + XLA remain the parity defaults; see docs/benchmarks.md).
     # Tri-state: off / train (kernel for training only) / always (eval
@@ -371,6 +377,16 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         )
         run_integrated_gradients(trainer, path)
     else:
+        if args.get("resume") and (
+            os.path.isdir(trainer.orbax_path)
+            or os.path.exists(trainer.snapshot_path + ".state.pkl")
+            or os.path.exists(trainer.snapshot_path)
+        ):
+            trainer.load_snapshot()
+            print(
+                f"--resume: restored snapshot, continuing from epoch "
+                f"{trainer.epochs_run + 1}"
+            )
         trainer.train(args.epochs)
     return trainer
 

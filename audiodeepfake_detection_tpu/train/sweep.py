@@ -38,6 +38,7 @@ from .vectorized import (
     make_vectorized_multi_train_step,
     make_vectorized_train_step,
     multi_seed_epoch,
+    stack_seed_states,
     state_for_seed,
 )
 
@@ -146,6 +147,68 @@ class VectorizedSeedSweep:
         for i, sh in enumerate(self.shadows):
             sh.state = state_for_seed(self.vstate, i)
             sh.step_total = self.step_total
+
+    def _try_resume(self) -> int:
+        """Resume an interrupted sweep from the per-seed snapshots.
+
+        Every shadow restores its own snapshot (orbax full state, or the
+        ``.pt`` weights-only fallback — the same ladder as the serial
+        Trainer); the slices stack back into the vectorized state.  All
+        slices must sit at the same epoch — a partial or mixed set starts
+        fresh instead.  Returns the epoch to resume from (0 = fresh).
+        """
+        import os
+
+        from ..parallel.mesh import replicate
+
+        def has_snapshot(sh):
+            return (
+                os.path.isdir(sh.orbax_path)
+                or os.path.exists(sh.snapshot_path + ".state.pkl")
+                or os.path.exists(sh.snapshot_path)
+            )
+
+        if not all(has_snapshot(sh) for sh in self.shadows):
+            return 0
+        if self._hyper is not None:
+            # hyper sweeps snapshot the inject_hyperparams opt_state
+            # layout; point each shadow's tx at the matching structure
+            # (with its own scalars) so the structured restore round-trips
+            from .vectorized import make_hyper_optimizer
+
+            for sh in self.shadows:
+                sh.tx = make_hyper_optimizer(
+                    float(sh.args.learning_rate),
+                    float(sh.args.weight_decay),
+                )
+        try:
+            for sh in self.shadows:
+                sh.load_snapshot()
+            epochs = {sh.epochs_run for sh in self.shadows}
+            if len(epochs) != 1:
+                print(
+                    "(sweep resume skipped: per-seed snapshots at "
+                    f"different epochs {sorted(epochs)})"
+                )
+                return 0
+            vstate = stack_seed_states([sh.state for sh in self.shadows])
+        except Exception as exc:
+            print(f"(sweep resume skipped: {exc})")
+            return 0
+        self.vstate = vstate._replace(
+            params=replicate(self.mesh, vstate.params),
+            batch_stats=replicate(self.mesh, vstate.batch_stats),
+            opt_state=replicate(self.mesh, vstate.opt_state),
+        )
+        self.step_total = int(np.asarray(self.vstate.step)[0])
+        epoch = epochs.pop()
+        # serial contract (Trainer.train): continue from the restored
+        # epoch index — the snapshot epoch itself re-runs
+        print(
+            f"sweep resume: restored {len(self.shadows)} seed snapshots "
+            f"saved at epoch {epoch + 1}; continuing from there"
+        )
+        return epoch
 
     # -------------------------------------------------------------- training
 
@@ -335,9 +398,14 @@ class VectorizedSeedSweep:
         """Epoch loop with the reference's ckpt/validation cadence
         (reference train_classifier.py:1021-1053), vectorized over seeds;
         checkpoints run through the shadows, validation/testing through
-        one vectorized eval pass per loader."""
+        one vectorized eval pass per loader.  With the ``resume`` config
+        flag an interrupted sweep restores the per-seed snapshots and
+        continues (same contract as Trainer.train via --resume)."""
         args = self.args
-        for epoch in range(max_epochs):
+        start_epoch = 0
+        if self.vstate is None and bool(args.get("resume")):
+            start_epoch = self._try_resume()
+        for epoch in range(start_epoch, max_epochs):
             self._run_epoch(epoch)
             self._push_states()
             if (

@@ -655,6 +655,33 @@ class Trainer:
 
             with ocp.StandardCheckpointer() as ckptr:
                 blob = ckptr.restore(os.path.abspath(orbax_dir))
+                # Schema-free restore returns optax's namedtuple states
+                # (ScaleByAdamState etc.) as plain dicts, which tx.update
+                # cannot consume — resumed TRAINING would crash on the
+                # first step.  Re-restore against a structured template
+                # built from the restored params: orbax matches leaves by
+                # path name, so the namedtuples come back typed.
+                try:
+                    params = jax.tree.map(
+                        jnp.asarray, blob["variables"]["params"]
+                    )
+                    template = {
+                        "variables": blob["variables"],
+                        "opt_state": self.tx.init(params),
+                        "epoch": blob["epoch"],
+                        "step": blob["step"],
+                    }
+                    blob = ckptr.restore(
+                        os.path.abspath(orbax_dir), template
+                    )
+                except Exception as exc:
+                    print(
+                        "(structured opt_state restore failed: "
+                        f"{exc}; weights restored, optimizer reset)"
+                    )
+                    blob["opt_state"] = self.tx.init(
+                        jax.tree.map(jnp.asarray, blob["variables"]["params"])
+                    )
         elif os.path.exists(state_pkl):
             with open(state_pkl, "rb") as fh:
                 blob = pickle.load(fh)

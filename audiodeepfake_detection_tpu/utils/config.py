@@ -120,6 +120,7 @@ def default_config() -> DotDict:
         pp_microbatches=2,
         vmap_seeds=False,
         vmap_hparams=False,
+        resume=False,
     )
 
 

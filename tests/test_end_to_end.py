@@ -155,6 +155,16 @@ class TestEndToEnd:
         assert trainer2.epochs_run == 0  # saved at epoch 0
         assert len(trainer2.test_results) == 4
 
+        # --resume: restores the snapshot and continues training (the
+        # reference saves EPOCHS_RUN but can never continue a run,
+        # train_classifier.py:1028).  Same config = crash-resume (the
+        # epoch count is part of the snapshot name): restored step 2,
+        # re-runs epoch 0 (+2 steps, serial Trainer contract)
+        args3 = args.copy()
+        args3.resume = True
+        trainer3 = run_experiment(args3)
+        assert int(np.asarray(trainer3.state.step)) == 4
+
 
 class TestConvergence:
     def test_training_reaches_full_accuracy(self, corpus, args):

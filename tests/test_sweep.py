@@ -230,6 +230,81 @@ class TestVectorizedSweep:
         assert results, "print_results should write the results tensor"
 
 
+class TestSweepResume:
+    def test_resume_restores_and_continues(
+        self, corpus, tmp_path_factory, eight_devices, capsys
+    ):
+        """A second sweep run with resume=True restores the per-seed
+        snapshots (epoch + params + Adam moments) and continues; without
+        the flag it retrains from scratch like the serial driver."""
+        from audiodeepfake_detection_tpu.train.experiment import (
+            run_experiment_vectorized,
+        )
+
+        a = _base_args(corpus, tmp_path_factory, "resume")
+
+        def group(**extra):
+            out = []
+            for s in (0, 1):
+                g = a.copy()
+                g.seed = s
+                g.update(**extra)
+                out.append(g)
+            return out
+
+        first = run_experiment_vectorized(group(epochs=1))
+        # epoch 0 ran 2 steps (22 frames // batch 8, drop_last)
+        assert int(np.asarray(first[0].state.step)) == 2
+
+        # crash-resume scenario: SAME config (the epoch count is part of
+        # the snapshot name, reference naming scheme) — restores epoch 0
+        # and re-runs it (serial Trainer contract): step 2 -> 4
+        capsys.readouterr()
+        resumed = run_experiment_vectorized(group(epochs=1, resume=True))
+        out = capsys.readouterr().out
+        assert "sweep resume: restored 2 seed snapshots" in out
+        assert int(np.asarray(resumed[0].state.step)) == 4
+        assert len(resumed[0].test_results) == 4
+
+        # without the flag: fresh start (serial-driver contract)
+        capsys.readouterr()
+        fresh = run_experiment_vectorized(group(epochs=1))
+        out = capsys.readouterr().out
+        assert "sweep resume" not in out
+        assert int(np.asarray(fresh[0].state.step)) == 2
+
+    def test_resume_hyper_layout(
+        self, corpus, tmp_path_factory, eight_devices, capsys
+    ):
+        """Resume of an lr-heterogeneous sweep round-trips the
+        inject_hyperparams opt_state layout (per-slice lr survives)."""
+        from audiodeepfake_detection_tpu.train.experiment import (
+            run_experiment_vectorized,
+        )
+
+        a = _base_args(corpus, tmp_path_factory, "hresume")
+
+        def group(**extra):
+            out = []
+            for lr in (4e-4, 1e-3):
+                g = a.copy()
+                g.seed = 0
+                g.learning_rate = lr
+                g.update(**extra)
+                out.append(g)
+            return out
+
+        run_experiment_vectorized(group(epochs=1))
+        capsys.readouterr()
+        resumed = run_experiment_vectorized(group(epochs=1, resume=True))
+        out = capsys.readouterr().out
+        assert "sweep resume: restored 2 seed snapshots" in out
+        assert int(np.asarray(resumed[0].state.step)) == 4
+        # per-slice lr survived the snapshot round trip
+        hp = resumed[1].state.opt_state.hyperparams
+        assert float(np.asarray(hp["learning_rate"])) == pytest.approx(1e-3)
+
+
 class TestVmapHparams:
     def test_lr_axis_folds_into_one_program(
         self, corpus, tmp_path_factory, eight_devices, capsys
