@@ -49,12 +49,19 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_epochs_run(path: str) -> int:
+    """The 0-based index of the snapshot's last completed epoch.
+
+    Reference semantics (train_classifier.py:997-1008): ``EPOCHS_RUN`` is
+    the loop index at save time, i.e. the epoch that had just finished.
+    Returns -1 when the blob has no ``EPOCHS_RUN`` (bare state dicts) —
+    "nothing known to be completed".
+    """
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "EPOCHS_RUN" in blob:
         return int(blob["EPOCHS_RUN"])
-    return 0
+    return -1
 
 
 def _group_torch_layers(

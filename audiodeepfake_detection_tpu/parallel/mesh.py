@@ -51,6 +51,28 @@ def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedShardi
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
+def data_stage_mesh(
+    pp_stages: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """``('data', 'stage')`` mesh for GPipe pipeline parallelism.
+
+    ``pp_stages`` devices form the pipeline axis; the rest do DP.  Single
+    source of truth for the layout — the Trainer and the experiment
+    driver both build PP meshes here.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % pp_stages:
+        raise ValueError(
+            f"pp_stages={pp_stages} does not divide {n} devices"
+        )
+    return get_mesh(
+        devices,
+        axis_names=("data", "stage"),
+        shape=(n // pp_stages, pp_stages),
+    )
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -102,9 +102,19 @@ def pipeline_encode(
     apply_block = _block_applier(model)
 
     batch = tokens.shape[0]
-    if batch % n_microbatches:
+    # divisibility holds PER DATA SHARD: inside shard_map each data slice
+    # carries batch / mesh[data_axis] rows, and those must split into
+    # n_microbatches (a global-batch check would pass and then fail with a
+    # cryptic reshape error at trace time inside shard_map)
+    data_n = mesh.shape[data_axis] if data_axis else 1
+    if batch % data_n:
         raise ValueError(
-            f"batch {batch} not divisible by n_microbatches {n_microbatches}"
+            f"batch {batch} not divisible by data axis {data_n}"
+        )
+    if (batch // data_n) % n_microbatches:
+        raise ValueError(
+            f"per-shard batch {batch // data_n} (= {batch} / data {data_n}) "
+            f"not divisible by n_microbatches {n_microbatches}"
         )
     depth = jax.tree_util.tree_leaves(stacked_blocks)[0].shape[0]
     if depth % n_stages:

@@ -169,6 +169,41 @@ def get_input_dims(args: DotDict, transform) -> list:
     return shape
 
 
+def loader_shard_kw(args: DotDict) -> dict:
+    """Per-process feeding policy — the SINGLE source for every loader
+    builder (serial and vectorized paths must feed identically, or the
+    sweep's data-order parity with the serial grid silently breaks)."""
+    import jax
+
+    return dict(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        # True builds the pre-decoded frame cache up front; None only
+        # uses one that already exists (data/frame_cache.py).  With the
+        # cache on, batches ship as raw int16 PCM (on-device conversion).
+        use_frame_cache=True if args.frame_cache else None,
+        emit="int16" if args.frame_cache else "float32",
+    )
+
+
+def norm_batches_fn(train_loader):
+    """Welford-statistics batch stream over the train set.
+
+    The reference computes stats at batch 4000 over the train set
+    (wavelet_math.py:419-426); capped at the dataset size so small sets
+    don't process padding.
+    """
+
+    def norm_batches():
+        bs = max(1, min(4000, len(train_loader.dataset)))
+        big = FrameLoader(train_loader.dataset, bs)
+        for batch in big.epoch(0, shuffle=False):
+            keep = batch["weight"] > 0
+            yield batch["audio"][keep]
+
+    return norm_batches
+
+
 def create_data_loaders(args: DotDict):
     """Five loaders: train/val/test + cross val/test
     (reference train_classifier.py:50-229)."""
@@ -196,18 +231,7 @@ def create_data_loaders(args: DotDict):
     val_ds = make("val", args.limit_train[1], "D", args.data_path, args.only_use)
     test_ds = make("test", args.limit_train[2], "E", args.data_path, args.only_use)
 
-    import jax
-
-    pidx, pcount = jax.process_index(), jax.process_count()
-    shard_kw = dict(
-        process_index=pidx,
-        process_count=pcount,
-        # True builds the pre-decoded frame cache up front; None only
-        # uses one that already exists (data/frame_cache.py).  With the
-        # cache on, batches ship as raw int16 PCM (on-device conversion).
-        use_frame_cache=True if args.frame_cache else None,
-        emit="int16" if args.frame_cache else "float32",
-    )
+    shard_kw = loader_shard_kw(args)
     train_loader = FrameLoader(
         train_ds,
         args.batch_size,
@@ -263,16 +287,11 @@ def mesh_for(args: DotDict):
     ``pp_stages>1`` (GPipe over the AST encoder, parallel/pipeline.py) puts
     the trailing ``stage`` axis on the mesh; the remaining devices do DP.
     """
-    import jax
-
     pp = int(args.get("pp_stages") or 1)
     if pp > 1:
-        n = len(jax.devices())
-        if n % pp:
-            raise ValueError(
-                f"pp_stages={pp} does not divide {n} devices"
-            )
-        return get_mesh(axis_names=("data", "stage"), shape=(n // pp, pp))
+        from ..parallel.mesh import data_stage_mesh
+
+        return data_stage_mesh(pp)
     return get_mesh()
 
 
@@ -313,17 +332,9 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         cross_loader_test,
     ) = create_data_loaders(args)
 
-    def norm_batches():
-        # the reference computes stats at batch 4000 over the train set
-        # (wavelet_math.py:419-426); cap at the dataset size so small sets
-        # don't process padding
-        bs = max(1, min(4000, len(train_loader.dataset)))
-        big = FrameLoader(train_loader.dataset, bs)
-        for batch in big.epoch(0, shuffle=False):
-            keep = batch["weight"] > 0
-            yield batch["audio"][keep]
-
-    transform, mean, std = get_transforms(args, train_batches=norm_batches)
+    transform, mean, std = get_transforms(
+        args, train_batches=norm_batches_fn(train_loader)
+    )
     args.input_dim = get_input_dims(args, transform)
     full_transform = normalized_transform(transform, mean, std)
 
@@ -426,14 +437,9 @@ def run_experiment_vectorized(args_list, mesh=None):
         cross_loader_test,
     ) = create_data_loaders(base)
 
-    def norm_batches():
-        bs = max(1, min(4000, len(train_loader.dataset)))
-        big = FrameLoader(train_loader.dataset, bs)
-        for batch in big.epoch(0, shuffle=False):
-            keep = batch["weight"] > 0
-            yield batch["audio"][keep]
-
-    transform, mean, std = get_transforms(base, train_batches=norm_batches)
+    transform, mean, std = get_transforms(
+        base, train_batches=norm_batches_fn(train_loader)
+    )
     base.input_dim = get_input_dims(base, transform)
     full_transform = normalized_transform(transform, mean, std)
 
@@ -449,14 +455,7 @@ def run_experiment_vectorized(args_list, mesh=None):
     base_dir = base.log_dir
     os.makedirs(base_dir + "/models", exist_ok=True)
 
-    import jax
-
-    shard_kw = dict(
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
-        use_frame_cache=True if base.frame_cache else None,
-        emit="int16" if base.frame_cache else "float32",
-    )
+    shard_kw = loader_shard_kw(base)
     shadows, train_loaders = [], []
     for a in args_list:
         a = a.copy()
@@ -591,7 +590,20 @@ def main(argv=None) -> None:
             )
             groups.setdefault(key, []).append(a)
         for group in groups.values():
-            shadows = run_experiment_vectorized(group, mesh=mesh_for(group[0]))
+            try:
+                shadows = run_experiment_vectorized(
+                    group, mesh=mesh_for(group[0])
+                )
+            except ValueError as exc:
+                # a group can be legitimately non-vectorizable (fused
+                # Pallas kernels, fsdp/pp configs — VectorizedSeedSweep
+                # guards); don't abort the whole sweep and lose the
+                # already-trained groups' results — run it serially
+                print(
+                    f"vmap_seeds: group not vectorizable ({exc}); "
+                    "running its configs serially"
+                )
+                shadows = [run_experiment(a, mesh=mesh_for(a)) for a in group]
             for sh in shadows:
                 model_file = sh.snapshot_path[: -len(".pt")]
                 exp_results.setdefault(sh.args.seed, []).append(

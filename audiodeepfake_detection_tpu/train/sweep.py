@@ -201,14 +201,14 @@ class VectorizedSeedSweep:
             opt_state=replicate(self.mesh, vstate.opt_state),
         )
         self.step_total = int(np.asarray(self.vstate.step)[0])
-        epoch = epochs.pop()
-        # serial contract (Trainer.train): continue from the restored
-        # epoch index — the snapshot epoch itself re-runs
+        # epochs_run = completed-epoch count (serial Trainer contract):
+        # training continues at that index
+        start = epochs.pop()
         print(
             f"sweep resume: restored {len(self.shadows)} seed snapshots "
-            f"saved at epoch {epoch + 1}; continuing from there"
+            f"({start} completed epoch(s)); continuing"
         )
-        return epoch
+        return start
 
     # -------------------------------------------------------------- training
 

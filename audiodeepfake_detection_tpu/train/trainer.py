@@ -75,15 +75,9 @@ class Trainer:
             if self._pp > 1:
                 # GPipe over the encoder needs a 'stage' mesh axis
                 # (parallel/pipeline.py); remaining devices do DP.
-                n = len(jax.devices())
-                if n % self._pp:
-                    raise ValueError(
-                        f"pp_stages={self._pp} does not divide {n} devices"
-                    )
-                mesh = get_mesh(
-                    axis_names=("data", "stage"),
-                    shape=(n // self._pp, self._pp),
-                )
+                from ..parallel.mesh import data_stage_mesh
+
+                mesh = data_stage_mesh(self._pp)
             else:
                 mesh = get_mesh()
         elif self._pp > 1 and "stage" not in mesh.axis_names:
@@ -112,6 +106,21 @@ class Trainer:
                 "embed/encode/classify phases (the AST); "
                 f"{type(model).__name__} has no embed/classify methods"
             )
+        if self._pp > 1:
+            # the pipelined encoder runs deterministically (train=False
+            # block applier, parallel/pipeline.py) — silently dropping a
+            # configured regularizer would train a different model than
+            # the same config without PP
+            rates = {
+                a: float(getattr(model, a, 0.0) or 0.0)
+                for a in ("drop_rate", "attn_drop_rate", "drop_path_rate")
+            }
+            nonzero = {a: r for a, r in rates.items() if r > 0.0}
+            if nonzero:
+                raise ValueError(
+                    "pp_stages>1 runs the encoder without dropout; set "
+                    f"these rates to 0 or disable PP: {nonzero}"
+                )
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -660,7 +669,10 @@ class Trainer:
                 # cannot consume — resumed TRAINING would crash on the
                 # first step.  Re-restore against a structured template
                 # built from the restored params: orbax matches leaves by
-                # path name, so the namedtuples come back typed.
+                # path name, so the namedtuples come back typed.  (This
+                # reads the checkpoint twice; StandardCheckpointer's
+                # metadata() does not expose the item tree here, and even
+                # the 1 GB AST state re-reads in seconds.)
                 try:
                     params = jax.tree.map(
                         jnp.asarray, blob["variables"]["params"]
@@ -693,7 +705,10 @@ class Trainer:
                 ),
                 step=jnp.asarray(blob["step"], jnp.int32),
             )
-            self.epochs_run = blob["epoch"]
+            # blob["epoch"] is the COMPLETED epoch's index (save_snapshot
+            # runs after _run_epoch); resume continues at the next one —
+            # re-running it would apply its gradients twice
+            self.epochs_run = blob["epoch"] + 1
         else:
             from ..models.torch_import import (
                 import_dcnn,
@@ -724,4 +739,5 @@ class Trainer:
             else:
                 importer = import_dcnn
             self.load_variables(importer(state))
-            self.epochs_run = load_epochs_run(path)
+            # EPOCHS_RUN holds the completed epoch's index (-1 if absent)
+            self.epochs_run = load_epochs_run(path) + 1

@@ -152,18 +152,39 @@ class TestEndToEnd:
         args2 = args.copy()
         args2.only_testing = True
         trainer2 = run_experiment(args2)
-        assert trainer2.epochs_run == 0  # saved at epoch 0
+        assert trainer2.epochs_run == 1  # completed count (saved at epoch 0)
         assert len(trainer2.test_results) == 4
 
-        # --resume: restores the snapshot and continues training (the
-        # reference saves EPOCHS_RUN but can never continue a run,
-        # train_classifier.py:1028).  Same config = crash-resume (the
-        # epoch count is part of the snapshot name): restored step 2,
-        # re-runs epoch 0 (+2 steps, serial Trainer contract)
+        # --resume on a COMPLETED run must be a no-op — nothing retrains
+        # (resuming continues at epoch saved+1; re-running the snapshot
+        # epoch would apply its gradients twice).  The reference saves
+        # EPOCHS_RUN but can never continue a run at all
+        # (train_classifier.py:1028).
         args3 = args.copy()
         args3.resume = True
         trainer3 = run_experiment(args3)
-        assert int(np.asarray(trainer3.state.step)) == 4
+        assert int(np.asarray(trainer3.state.step)) == 2
+
+        # crash-resume: simulate a 2-epoch run interrupted after epoch 0
+        # by renaming the snapshots to the _2e_ names; --resume trains
+        # ONLY epoch 1 (+2 steps)
+        import shutil
+
+        base = trainer.snapshot_path[: -len(".pt")]
+        base2 = base.replace("_1e_", "_2e_")
+        shutil.copy(trainer.snapshot_path, base2 + ".pt")
+        if os.path.isdir(base + ".orbax"):
+            shutil.copytree(base + ".orbax", base2 + ".orbax")
+        elif os.path.exists(trainer.snapshot_path + ".state.pkl"):
+            shutil.copy(
+                trainer.snapshot_path + ".state.pkl",
+                base2 + ".pt.state.pkl",
+            )
+        args4 = args.copy()
+        args4.resume = True
+        args4.epochs = 2
+        trainer4 = run_experiment(args4)
+        assert int(np.asarray(trainer4.state.step)) == 4
 
 
 class TestConvergence:

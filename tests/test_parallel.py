@@ -579,6 +579,26 @@ class TestPipelineParallelAST:
             g_pp,
         )
 
+    def test_per_shard_microbatch_divisibility(self, eight_devices):
+        """Regression: the divisibility check must apply to the PER-DATA-
+        SHARD batch (shard_map slices B / mesh['data'] rows), not the
+        global batch — the global check passed and then died with a
+        cryptic reshape error inside shard_map."""
+        import pytest
+
+        from audiodeepfake_detection_tpu.parallel.pipeline import (
+            pp_ast_logits,
+        )
+
+        model, variables, x = self._setup()
+        mesh = get_mesh(axis_names=("data", "stage"), shape=(4, 2))
+        x4 = jnp.asarray(x[:4])  # global 4 % 2 == 0, per-shard 1 % 2 != 0
+        with pytest.raises(ValueError, match="per-shard batch"):
+            pp_ast_logits(
+                model, variables["params"], x4, mesh,
+                n_microbatches=2, data_axis="data",
+            )
+
     def test_train_step_runs_and_learns(self, eight_devices):
         from audiodeepfake_detection_tpu.parallel.pipeline import (
             make_pp_train_step,

@@ -237,6 +237,8 @@ class TestSweepResume:
         """A second sweep run with resume=True restores the per-seed
         snapshots (epoch + params + Adam moments) and continues; without
         the flag it retrains from scratch like the serial driver."""
+        import jax
+
         from audiodeepfake_detection_tpu.train.experiment import (
             run_experiment_vectorized,
         )
@@ -256,15 +258,42 @@ class TestSweepResume:
         # epoch 0 ran 2 steps (22 frames // batch 8, drop_last)
         assert int(np.asarray(first[0].state.step)) == 2
 
-        # crash-resume scenario: SAME config (the epoch count is part of
-        # the snapshot name, reference naming scheme) — restores epoch 0
-        # and re-runs it (serial Trainer contract): step 2 -> 4
+        # resume of a COMPLETED run is a no-op (continues at epoch
+        # saved+1 == max_epochs; re-running the snapshot epoch would
+        # apply its gradients twice); restored state equals the run's
         capsys.readouterr()
         resumed = run_experiment_vectorized(group(epochs=1, resume=True))
         out = capsys.readouterr().out
         assert "sweep resume: restored 2 seed snapshots" in out
-        assert int(np.asarray(resumed[0].state.step)) == 4
-        assert len(resumed[0].test_results) == 4
+        assert int(np.asarray(resumed[0].state.step)) == 2
+        jax.tree.map(
+            lambda v, w: np.testing.assert_allclose(
+                np.asarray(v), np.asarray(w), rtol=0, atol=1e-6
+            ),
+            resumed[0].state.params,
+            first[0].state.params,
+        )
+
+        # crash-resume: a 2-epoch run interrupted after epoch 0 leaves
+        # epoch-0 snapshots under the _2e_ names — simulate by renaming
+        # the completed 1-epoch run's snapshots, then resume trains ONLY
+        # epoch 1 (+2 steps) and runs final testing
+        import shutil
+
+        for sh in first:
+            base = sh.snapshot_path[: -len(".pt")]
+            base2 = base.replace("_1e_", "_2e_")
+            shutil.copy(sh.snapshot_path, base2 + ".pt")
+            if os.path.isdir(base + ".orbax"):
+                shutil.copytree(base + ".orbax", base2 + ".orbax")
+            elif os.path.exists(base + ".pt.state.pkl"):
+                shutil.copy(base + ".pt.state.pkl", base2 + ".pt.state.pkl")
+        capsys.readouterr()
+        cont = run_experiment_vectorized(group(epochs=2, resume=True))
+        out = capsys.readouterr().out
+        assert "(1 completed epoch(s)); continuing" in out
+        assert int(np.asarray(cont[0].state.step)) == 4
+        assert len(cont[0].test_results) == 4
 
         # without the flag: fresh start (serial-driver contract)
         capsys.readouterr()
@@ -299,7 +328,7 @@ class TestSweepResume:
         resumed = run_experiment_vectorized(group(epochs=1, resume=True))
         out = capsys.readouterr().out
         assert "sweep resume: restored 2 seed snapshots" in out
-        assert int(np.asarray(resumed[0].state.step)) == 4
+        assert int(np.asarray(resumed[0].state.step)) == 2  # no-op resume
         # per-slice lr survived the snapshot round trip
         hp = resumed[1].state.opt_state.hyperparams
         assert float(np.asarray(hp["learning_rate"])) == pytest.approx(1e-3)

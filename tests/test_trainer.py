@@ -393,15 +393,16 @@ class TestSnapshotPathOverride:
 
         trainer.epochs_run = 0
         trainer.load_snapshot(str(tmp_path / "other.pt"))
-        assert trainer.epochs_run == 5  # pre-fix: 1 (the default orbax)
+        # epochs_run = completed count = saved epoch index + 1
+        assert trainer.epochs_run == 6  # pre-fix: the default orbax's 2
 
         # no argument still restores the default checkpoint
         trainer.load_snapshot()
-        assert trainer.epochs_run == 1
+        assert trainer.epochs_run == 2
 
         # an explicit orbax directory path works too
         trainer.load_snapshot(str(tmp_path / "other.orbax"))
-        assert trainer.epochs_run == 5
+        assert trainer.epochs_run == 6
 
 
 class TestZeroAlphaFusedGuard:
@@ -589,6 +590,20 @@ class TestTrainerPP:
         with pytest.raises(ValueError, match="does not divide"):
             self._trainer(tmp_path, pp_stages=3)
 
+        # the pipelined encoder runs deterministically; a configured
+        # dropout rate must refuse rather than silently train without it
+        from audiodeepfake_detection_tpu.models.ast import ASTModel
+
+        model = ASTModel(
+            model_size="tiny224", input_fdim=32, input_tdim=64,
+            drop_rate=0.1,
+        )
+        with pytest.raises(ValueError, match="without dropout"):
+            Trainer(
+                model, lambda a: a, args,
+                snapshot_path=str(tmp_path / "gd"),
+            )
+
 
 class TestTrainerFSDP:
     """The fsdp config flag end-to-end through the Trainer: state placed
@@ -673,7 +688,7 @@ class TestTrainerFSDP:
 
         fresh, _ = self._trainer(tmp_path)
         fresh.load_snapshot()
-        assert fresh.epochs_run == 1
+        assert fresh.epochs_run == 2  # completed count = saved index + 1
         assert self._any_sharded(fresh.state.params)
         assert self._any_sharded(fresh.state.opt_state)
         for a, b in zip(
