@@ -17,6 +17,12 @@ must reproduce each bundled checkpoint's test accuracy / EER within +-0.5%
 and emit snapshots whose filenames match the bundled ones byte-for-byte.
 The ``transform``/``wavelet`` axes cover all three bundled checkpoints
 (stft, packets-sym5, packets-coif4) in one grid; trim the lists to run one.
+
+When retraining over several seeds (``--init-seeds 0 1 2 3 4``), consider
+``--vmap-seeds`` to train all seeds in one compiled program — but note
+memory scales with the seed count (fp32 parity activations at batch 128
+fit ~2 seeds on a 16 GB v5e chip; lower the batch size or use the bf16
+speed mode for more).
 """
 
 
