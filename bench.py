@@ -276,6 +276,49 @@ def cpu_baseline(measure: bool) -> float:
     return n * BATCH / (time.time() - t0)
 
 
+def wait_for_tpu(max_wait_s: float) -> None:
+    """Block until the accelerator backend initializes.
+
+    The TPU here sits behind a relay that has observable multi-minute
+    outages; a failed backend init is cached for the process lifetime, so
+    availability is probed in FRESH subprocesses and the measuring process
+    only touches the backend after a probe succeeds.  Bounded by
+    ``max_wait_s`` (env ``BENCH_TPU_WAIT_S``); each probe itself is capped
+    at 10 min (a down relay can sit in init for 25+ min before erroring).
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        probe_cap = min(600.0, max(60.0, max_wait_s))
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                text=True,
+                timeout=probe_cap,
+            )
+            ok, err = probe.returncode == 0, probe.stderr
+        except subprocess.TimeoutExpired:
+            ok, err = False, f"probe timed out after {probe_cap:.0f} s"
+        if ok:
+            return
+        attempt += 1
+        if time.time() >= deadline:
+            raise RuntimeError(
+                "accelerator backend unavailable after "
+                f"{max_wait_s:.0f} s ({attempt} probes); last error:\n"
+                + str(err)[-2000:]
+            )
+        print(
+            f"(backend unavailable, probe {attempt}; retrying in 60 s)",
+            flush=True,
+        )
+        time.sleep(60)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-cpu", action="store_true")
@@ -287,6 +330,7 @@ def main() -> None:
     parser.add_argument("--no-frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=1)
     args = parser.parse_args()
+    wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", 1500)))
     if args.end_to_end:
         fps = measure_end_to_end(
             frame_cache=not args.no_frame_cache,
