@@ -315,6 +315,7 @@ def wait_for_tpu(max_wait_s: float) -> None:
         print(
             f"(backend unavailable, probe {attempt}; retrying in 60 s)",
             flush=True,
+            file=sys.stderr,  # stdout carries ONLY the benchmark JSON line
         )
         time.sleep(60)
 
