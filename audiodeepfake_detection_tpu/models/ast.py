@@ -256,7 +256,10 @@ def import_timm_deit(
             key = key[len("v."):]
         return key
 
-    state = {strip(k): v for k, v in state.items()}
+    # Copy at the boundary: ``Tensor.numpy()`` views alias live torch
+    # parameter memory (see torch_import._owned_state) and the translations
+    # below are numpy views of these buffers.
+    state = {strip(k): np.array(v) for k, v in state.items()}
 
     params: dict = {}
     # patch embedding: torch conv [D, C, 16, 16] -> sum ch -> flax [16,16,1,D]

@@ -242,17 +242,31 @@ _LCNN_CNN = [
 ]
 
 
-def import_dcnn(path_or_state) -> Dict[str, Any]:
-    """Import a DCNN ``.pt`` snapshot into flax variables.
+def _owned_state(path_or_state) -> Dict[str, np.ndarray]:
+    """Load (or accept) a state dict and deep-copy every tensor.
 
-    Returns ``{"params": ..., "batch_stats": ...}`` for
-    :class:`~audiodeepfake_detection_tpu.models.dcnn.DCNN`.
+    Callers often pass ``{k: v.numpy() for k, v in module.state_dict()}``
+    from a LIVE torch module; ``Tensor.numpy()`` shares memory with the
+    parameter, so a later in-place ``optimizer.step()`` on the torch side
+    would silently mutate the "imported" flax weights (the importer's
+    transposes are numpy views).  Copy once at the boundary — checkpoints
+    are ~1 MB, and imported variables must own their buffers.
     """
     state = (
         load_torch_state_dict(path_or_state)
         if isinstance(path_or_state, str)
         else path_or_state
     )
+    return {k: np.array(v) for k, v in state.items()}
+
+
+def import_dcnn(path_or_state) -> Dict[str, Any]:
+    """Import a DCNN ``.pt`` snapshot into flax variables.
+
+    Returns ``{"params": ..., "batch_stats": ...}`` for
+    :class:`~audiodeepfake_detection_tpu.models.dcnn.DCNN`.
+    """
+    state = _owned_state(path_or_state)
     groups = _group_torch_layers(state)
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
@@ -265,11 +279,7 @@ def import_dcnn(path_or_state) -> Dict[str, Any]:
 
 def import_lcnn(path_or_state) -> Dict[str, Any]:
     """Import an LCNN ``.pt`` state dict into flax variables."""
-    state = (
-        load_torch_state_dict(path_or_state)
-        if isinstance(path_or_state, str)
-        else path_or_state
-    )
+    state = _owned_state(path_or_state)
     groups = _group_torch_layers(state)
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}

@@ -1,0 +1,225 @@
+"""Training-trajectory parity: our jitted train step vs the torch reference.
+
+The real-corpus retraining gate (BASELINE.md north star: re-train seed 0 to
+acc/EER within ±0.5% of the bundled checkpoints) is blocked on corpus
+availability in this image.  These tests lock the strongest in-image
+substitute: starting from IDENTICAL imported weights and feeding IDENTICAL
+batches, K optimizer steps of our fused train step
+(``train/steps.make_train_step``: CE loss -> grads -> torch-Adam-L2 optax
+chain -> BN running-stat updates) must reproduce the reference's torch
+training loop (reference: src/audiofakedetect/train_classifier.py:945-995 —
+forward, CrossEntropyLoss, backward, ``torch.optim.Adam(lr, weight_decay)``)
+step for step:
+
+* first-step gradients match per tensor (pure autodiff parity),
+* the per-step loss trajectory matches,
+* parameters after K steps agree within the Adam drift cap (near-zero
+  gradients make ``m/sqrt(v)`` sign-noisy across frameworks, so elementwise
+  parameter drift is bounded by ~2*lr per step, while loss/eval parity stays
+  tight — same caps as tests/test_vectorized.py),
+* BN running statistics track, and eval-mode logits after training agree.
+
+Dropout is set to 0.0 on both sides (layers stay in place so checkpoint
+layouts are unchanged; rate-0 dropout is the identity in train mode in both
+frameworks) — the reference's stochastic dropout masks cannot be equated
+across RNG implementations.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.models import (
+    DCNN,
+    export_state_dict,
+    import_dcnn,
+)
+from audiodeepfake_detection_tpu.train.steps import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+torch = pytest.importorskip("torch")
+
+from reference_oracle import reference_dcnn  # noqa: E402
+
+LR = 4e-4  # the reference headline config (scripts/gridsearch_config.py)
+WD = 1e-3
+STEPS = 4
+BATCH = 8
+T_DIM = 95  # packets-sym5 geometry (256 x 95 -> time_dim 12)
+
+
+def _localize_syncbn(module):
+    """Swap SyncBatchNorm for BatchNorm2d so the oracle trains on CPU.
+
+    Identical math single-process; both initialize weight=1/bias=0 and
+    running mean=0/var=1, so the swap preserves the state dict values.
+    """
+    for name, child in module.named_children():
+        if isinstance(child, torch.nn.SyncBatchNorm):
+            setattr(
+                module,
+                name,
+                torch.nn.BatchNorm2d(child.num_features, affine=child.affine),
+            )
+        else:
+            _localize_syncbn(child)
+
+
+def _build_pair():
+    torch.manual_seed(0)
+    ref = reference_dcnn(
+        "DCNN",
+        input_dim=[BATCH, 1, 256, T_DIM],
+        time_dim_add=12 - T_DIM // 8,
+        dropout_cnn=0.0,
+        dropout_lstm=0.0,
+    )
+    if ref is None:
+        pytest.skip("reference checkout unavailable")
+    _localize_syncbn(ref)
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(np.asarray, import_dcnn(state))
+    model = DCNN(time_dim=12, dropout_cnn=0.0, dropout_lstm=0.0)
+    return ref, model, variables
+
+
+def _batches(n, seed=0):
+    rs = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        out.append(
+            (
+                rs.randn(BATCH, 1, 256, T_DIM).astype(np.float32),
+                np.tile([0, 1], BATCH // 2).astype(np.int64),
+            )
+        )
+    return out
+
+
+class TestTrainTrajectoryParity:
+    def test_first_step_gradients_match_torch(self):
+        """Autodiff parity: dLoss/dParams per tensor, training-mode BN."""
+        import optax
+
+        ref, model, variables = _build_pair()
+        ref.train()
+        (x, labels), = _batches(1)
+
+        out = ref(torch.from_numpy(x))
+        loss = torch.nn.CrossEntropyLoss()(out, torch.from_numpy(labels))
+        loss.backward()
+        torch_grads = {k: p.grad.numpy() for k, p in ref.named_parameters()}
+
+        def loss_fn(params):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels.astype(np.int32)
+            ).mean()
+
+        jloss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        np.testing.assert_allclose(float(jloss), float(loss.item()), rtol=1e-5)
+
+        # Route the gradient pytree through the checkpoint exporter to get
+        # torch-keyed tensors (grads are params-shaped; stats are not graded).
+        #
+        # Tolerances are measured, not aspirational: both frameworks carry
+        # ~1e-6-relative fp32 activation noise (our BN accumulates one-pass
+        # fp32 statistics by design — the bf16 invariant; torch's own
+        # fp32-vs-fp64 gradient self-noise reaches 7e-3 relL2 on the early
+        # convs from the same cancellation). Reductions with heavy
+        # cancellation (PReLU's single shared slope = one sum over ~50k
+        # signed terms; conv biases) amplify that noise to percent-level
+        # relL2 while structural bugs (wrong padding/stride, missing BN
+        # stats backward, swapped layers) show up at 30-100%.
+        exported = export_state_dict(
+            {"params": jax.tree.map(np.asarray, grads),
+             "batch_stats": variables["batch_stats"]},
+            layout="dcnn",
+        )
+        assert set(torch_grads) <= set(exported)
+        for k, want in torch_grads.items():
+            got = exported[k]
+            assert got.shape == want.shape, k
+            rel_l2 = np.linalg.norm(got - want) / max(
+                np.linalg.norm(want), 1e-30
+            )
+            cap = 0.15 if want.size == 1 else 0.05
+            assert rel_l2 <= cap, (k, rel_l2)
+
+    def test_k_step_trajectory_matches_torch_adam(self):
+        ref, model, variables = _build_pair()
+        ref.train()
+        opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=WD)
+        lossf = torch.nn.CrossEntropyLoss()
+        batches = _batches(STEPS, seed=1)
+
+        torch_losses = []
+        for x, labels in batches:
+            opt.zero_grad()
+            loss = lossf(ref(torch.from_numpy(x)), torch.from_numpy(labels))
+            loss.backward()
+            opt.step()
+            torch_losses.append(loss.item())
+
+        tx = make_optimizer(LR, WD)
+        state = create_train_state(model, tx, batches[0][0], variables=variables)
+        step = make_train_step(model, lambda a: a, tx)
+        jax_losses = []
+        for x, labels in batches:
+            state, stats = step(state, {"audio": x, "label": labels})
+            jax_losses.append(float(stats["loss"]))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-4)
+
+        # Parameters: elementwise drift bounded by the Adam cap (sign-noisy
+        # m/sqrt(v) on near-zero gradients contributes ~lr per step worst
+        # case); the bulk of elements must sit far inside it.
+        final = export_state_dict(
+            {"params": jax.tree.map(np.asarray, state.params),
+             "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+            layout="dcnn",
+        )
+        torch_state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        cap = 2 * STEPS * LR
+        for k, want in torch_state.items():
+            got = final[k]
+            if k.endswith("num_batches_tracked"):
+                np.testing.assert_array_equal(got, want, err_msg=k)
+                continue
+            diff = np.abs(got - want)
+            if "running_" in k:
+                # stats are gradient-free: only activation drift enters
+                # (measured worst: relL2 1.8e-4, maxabs 3.2e-5 after 4 steps)
+                rel_l2 = np.linalg.norm(got - want) / max(
+                    np.linalg.norm(want), 1e-30
+                )
+                assert rel_l2 <= 1e-3 and diff.max() <= 1e-3, (k, rel_l2)
+            else:
+                # measured worst after 4 steps: maxabs 1.4e-3 (< cap 3.2e-3),
+                # median 8e-6 on multi-element tensors
+                assert diff.max() <= cap, (k, diff.max())
+                if want.size > 1:
+                    assert np.median(diff) <= LR / 4, (k, np.median(diff))
+
+        # Eval-mode logits after training (uses the updated running stats).
+        ref.eval()
+        xh = np.random.RandomState(99).randn(BATCH, 1, 256, T_DIM).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(xh)).numpy()
+        got = np.asarray(
+            model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                xh,
+                train=False,
+            )
+        )
+        # measured maxabs 2e-5 on ~0.05-scale logits after 4 steps
+        np.testing.assert_allclose(got, want, atol=5e-4)
