@@ -41,6 +41,9 @@ class LCNN(nn.Module):
     mesh: Any = None
     # BLSTM lax.scan unroll factor (see layers.BLSTMLayer.unroll).
     lstm_unroll: int = 1
+    # The reference hardcodes Dropout(0.7) (models.py:113); a knob with the
+    # same default lets deterministic parity tests zero it on both sides.
+    dropout: float = 0.7
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -133,7 +136,7 @@ class LCNN(nn.Module):
         x = bn_conv(x, "lcnn_24", "lcnn_25", 64, 3, 1)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
-        x = Dropout(0.7, name="lcnn_drop")(x, train)
+        x = Dropout(self.dropout, name="lcnn_drop")(x, train)
 
         # NHWC [B, T', F', 32]; reference flattens (channels, F') per time
         # step in NCHW (C, W) order: permute(0,2,1,3).view(B, T', C*W)

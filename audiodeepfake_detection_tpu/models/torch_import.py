@@ -388,6 +388,9 @@ def export_state_dict(variables: Dict[str, Any], layout: str = "dcnn") -> Dict[s
             out[f"{prefix}.bias"] = np.asarray(params[name]["bias"])
         elif kind == "lstm":
             p = params[name]
+            # the reference wraps each LSTM in BLSTMLayer whose member is
+            # named l_blstm (models.py:230), so keys nest one level deeper
+            prefix = f"{prefix}.l_blstm"
             out[f"{prefix}.weight_ih_l0"] = np.asarray(p["w_ih_fw"])
             out[f"{prefix}.weight_hh_l0"] = np.asarray(p["w_hh_fw"])
             out[f"{prefix}.bias_ih_l0"] = np.asarray(p["b_ih_fw"])

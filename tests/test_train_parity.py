@@ -31,8 +31,10 @@ import pytest
 
 from audiodeepfake_detection_tpu.models import (
     DCNN,
+    LCNN,
     export_state_dict,
     import_dcnn,
+    import_lcnn,
 )
 from audiodeepfake_detection_tpu.train.steps import (
     create_train_state,
@@ -42,7 +44,7 @@ from audiodeepfake_detection_tpu.train.steps import (
 
 torch = pytest.importorskip("torch")
 
-from reference_oracle import reference_dcnn  # noqa: E402
+from reference_oracle import load_reference_models, reference_dcnn  # noqa: E402
 
 LR = 4e-4  # the reference headline config (scripts/gridsearch_config.py)
 WD = 1e-3
@@ -222,4 +224,94 @@ class TestTrainTrajectoryParity:
             )
         )
         # measured maxabs 2e-5 on ~0.05-scale logits after 4 steps
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+class TestLCNNTrajectoryParity:
+    """Same K-step lockstep for the LCNN — exercises the BLSTM backward
+    (our single-scan bidirectional LSTM VJP vs torch's LSTM autograd),
+    MaxFeatureMap2D's masked-select gradient, and the folded-BN path.
+    Reference: models.py:68-131, 161-237."""
+
+    def test_k_step_trajectory_matches_torch_adam(self):
+        models = load_reference_models()
+        if models is None:
+            pytest.skip("reference checkout unavailable")
+        torch.manual_seed(0)
+        ref = models.LCNN(classes=2, in_channels=1, lstm_channels=256)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0  # deterministic trajectory (see module docstring)
+        _localize_syncbn(ref)
+        state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        variables = jax.tree.map(np.asarray, import_lcnn(state))
+        model = LCNN(lstm_channels=256, dropout=0.0)
+
+        steps, batch = 3, 8
+        ref.train()
+        opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=WD)
+        lossf = torch.nn.CrossEntropyLoss()
+        rs = np.random.RandomState(1)
+        batches = [
+            (
+                rs.randn(batch, 1, 256, 101).astype(np.float32),
+                np.tile([0, 1], batch // 2).astype(np.int64),
+            )
+            for _ in range(steps)
+        ]
+        torch_losses = []
+        for x, labels in batches:
+            opt.zero_grad()
+            loss = lossf(ref(torch.from_numpy(x)), torch.from_numpy(labels))
+            loss.backward()
+            opt.step()
+            torch_losses.append(loss.item())
+
+        tx = make_optimizer(LR, WD)
+        st = create_train_state(model, tx, batches[0][0], variables=variables)
+        step = make_train_step(model, lambda a: a, tx)
+        jax_losses = []
+        for x, labels in batches:
+            st, stats = step(st, {"audio": x, "label": labels})
+            jax_losses.append(float(stats["loss"]))
+        # measured: rel err <= 2.6e-4 over 3 steps
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-3)
+
+        final = export_state_dict(
+            {"params": jax.tree.map(np.asarray, st.params),
+             "batch_stats": jax.tree.map(np.asarray, st.batch_stats)},
+            layout="lcnn",
+        )
+        torch_state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        assert set(final) == set(torch_state)
+        cap = 2 * steps * LR
+        for k, want in torch_state.items():
+            got = final[k]
+            if k.endswith("num_batches_tracked"):
+                np.testing.assert_array_equal(got, want, err_msg=k)
+                continue
+            diff = np.abs(got - want)
+            if "running_" in k:
+                rel_l2 = np.linalg.norm(got - want) / max(
+                    np.linalg.norm(want), 1e-30
+                )
+                assert rel_l2 <= 2e-3 and diff.max() <= 2e-3, (k, rel_l2)
+            else:
+                # measured worst 1.6e-3 (< cap 2.4e-3)
+                assert diff.max() <= cap, (k, diff.max())
+
+        ref.eval()
+        xh = np.random.RandomState(99).randn(batch, 1, 256, 101).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            want = ref(torch.from_numpy(xh)).numpy()
+        got = np.asarray(
+            model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                xh,
+                train=False,
+            )
+        )
+        # measured maxabs 2.2e-5
         np.testing.assert_allclose(got, want, atol=5e-4)
