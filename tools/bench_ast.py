@@ -11,6 +11,7 @@ is meaningful, so that is what this prints.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -62,7 +63,12 @@ def main() -> None:
         state = create_train_state(model, tx, x, seed=0)
         labels = jnp.asarray(rng.randint(0, 2, args.batch))
 
-        @jax.jit
+        # Donate the state like the production step (train/steps.py
+        # make_train_step donate_argnums=(0,)): without donation XLA
+        # cannot update the 86M-param fp32 state in place and the step
+        # pays fresh allocations + copies for params and both Adam
+        # moments every call.
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state):
             def loss_fn(p):
                 out = model.apply(
