@@ -71,6 +71,12 @@ class _Block(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = None
     precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
+    # Fuse softmax(qk^T)v into one Pallas kernel (ops/flash_attention.py):
+    # the [B, H, N, N] score tensor never exists in HBM in either direction
+    # (the AST step is bandwidth-bound; scores are its largest eliminable
+    # traffic).  Requires attn_drop_rate == 0 and no tensor-parallel head
+    # sharding (an unpartitioned Pallas call would be replicated by GSPMD).
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -87,16 +93,30 @@ class _Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
         b, n, d = h.shape
         qkv = Dense(3 * d, "qkv")(h)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, d // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, precision=prec) / math.sqrt(
-            d // self.num_heads
-        )
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop_rate, deterministic=not train)(attn)
-        h = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=prec).reshape(
-            b, n, d
-        )
+        if self.fused_attention and self.attn_drop_rate == 0.0:
+            from ..ops.flash_attention import flash_mha_packed
+
+            # the kernel consumes the Dense output's natural [B, N, 3HD]
+            # layout directly — no transposes materialise around the call
+            h = flash_mha_packed(
+                qkv,
+                self.num_heads,
+                1.0 / math.sqrt(d // self.num_heads),
+                prec,
+            )
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, d // self.num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, precision=prec
+            ) / math.sqrt(d // self.num_heads)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop_rate, deterministic=not train)(
+                attn
+            )
+            h = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v, precision=prec
+            ).reshape(b, n, d)
         h = Dense(d, "proj")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         x = x + drop_path(h, train)
@@ -123,6 +143,8 @@ class ASTModel(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = None
     precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
+    # fuse softmax(qk^T)v per block into one Pallas kernel — see _Block
+    fused_attention: bool = False
 
     def setup(self) -> None:
         # setup-style (not @nn.compact) so the three phases — embed /
@@ -177,6 +199,7 @@ class ASTModel(nn.Module):
                 name=f"block_{i}",
                 dtype=self.dtype,
                 precision=self.precision,
+                fused_attention=self.fused_attention,
             )
             for i in range(cfg["depth"])
         ]
@@ -203,6 +226,12 @@ class ASTModel(nn.Module):
             axis=1,
         )
         h = h + self.pos_embed
+        if self.dtype is not None:
+            # keep the residual token stream in the compute dtype: the
+            # fp32 cls/dist/pos_embed params otherwise promote it to f32
+            # and every residual add / LayerNorm in all 12 blocks pays
+            # doubled HBM traffic (params and LN stats stay fp32)
+            h = h.astype(self.dtype)
         # reference forward applies the backbone's pos_drop here
         # (models.py:690; timm drop_rate, 0 by default)
         return self.pos_drop(h, deterministic=not train)

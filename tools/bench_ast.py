@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--size", default="base384")
     ap.add_argument("--train", action="store_true", help="full train step")
+    ap.add_argument(
+        "--fused-attention", action="store_true",
+        help="Pallas fused softmax(qk^T)v (ops/flash_attention.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -45,6 +49,7 @@ def main() -> None:
         dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,  # bf16 speed mode (parity
         # default is None -> HIGHEST, like DCNN/LCNN)
+        fused_attention=args.fused_attention,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, 1, 256, 101).astype(np.float32))
