@@ -95,6 +95,10 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--ddp", action="store_true")  # accepted; mesh is automatic
     parser.add_argument("--frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
+    # park the whole training frame set in HBM once; each dispatch then
+    # ships only [G, B] int32 indices (train/device_data.py).  The lever
+    # when per-dispatch H2D latency bounds e2e training throughput.
+    parser.add_argument("--device-data", action="store_true")
     # ZeRO-3-style param/optimizer sharding over the data axis
     # (parallel/fsdp.py); only pays off for large models (AST).
     parser.add_argument("--fsdp", action="store_true")

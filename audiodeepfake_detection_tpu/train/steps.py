@@ -165,6 +165,56 @@ def make_multi_train_step(
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
+def make_resident_multi_train_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    mesh=None,
+    aug_contrast: bool = False,
+    aug_noise: bool = False,
+) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """G optimizer steps per dispatch over DEVICE-RESIDENT training data.
+
+    Signature: ``(state, audio_all, labels_all, idx) -> (state, stats)``
+    with ``audio_all [N, 1, T]`` / ``labels_all [N]`` living in HBM (see
+    train/device_data.py) and ``idx [G, B]`` int32 frame indices — the only
+    per-dispatch H2D traffic.  Each scan iteration gathers its batch from
+    the resident tensor and runs the exact :func:`_train_step_body` the
+    streaming path uses, so the math (grad/Adam/BN-stat evolution, PRNG
+    stream) is identical to G separate host-fed steps.
+
+    The reference re-uploads every batch every epoch (per-batch ``.to``,
+    train_classifier.py:910-952); there is no torch equivalent of an epoch
+    that never touches the host.  With a 'data'-sharded ``idx`` and
+    replicated ``audio_all``, XLA partitions the gather so each device
+    materializes only its batch shard.
+    """
+    body = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        audio_sharding = batch_sharding(mesh, 3)
+        label_sharding = batch_sharding(mesh, 1)
+
+    def multi_step(state: TrainState, audio_all, labels_all, idx):
+        def step(st, batch_idx):
+            audio = jnp.take(audio_all, batch_idx, axis=0)
+            labels = jnp.take(labels_all, batch_idx, axis=0)
+            if mesh is not None:
+                audio = jax.lax.with_sharding_constraint(
+                    audio, audio_sharding
+                )
+                labels = jax.lax.with_sharding_constraint(
+                    labels, label_sharding
+                )
+            return body(st, {"audio": audio, "label": labels})
+
+        return jax.lax.scan(step, state, idx)
+
+    # donate only the state: audio_all/labels_all are reused every dispatch
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def stack_batches(batches):
     """Stack a list of same-shape host batches into one ``[G, ...]`` pytree."""
     import numpy as np

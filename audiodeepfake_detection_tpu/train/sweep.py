@@ -101,6 +101,13 @@ class VectorizedSeedSweep:
                 "vmap_seeds composes with data parallelism only "
                 "(fsdp / pp_stages must be off)"
             )
+        if bool(self.args.get("device_data")):
+            # the driver's serial fallback honors device_data, so raising
+            # here routes the group to a path that actually uses it
+            raise ValueError(
+                "vmap_seeds streams per-seed batch orders; device_data "
+                "(HBM-resident frames) is a serial-trainer feature"
+            )
 
         aug = dict(
             aug_contrast=bool(self.args.aug_contrast),

@@ -121,6 +121,15 @@ class Trainer:
                     "pp_stages>1 runs the encoder without dropout; set "
                     f"these rates to 0 or disable PP: {nonzero}"
                 )
+        # device-resident training data (train/device_data.py): the whole
+        # frame set uploads to HBM once and dispatches ship only indices.
+        self._device_data = bool(args.get("device_data"))
+        if self._device_data and (self._fsdp or self._pp > 1):
+            raise ValueError(
+                "device_data composes with the standard data-parallel step "
+                "only (disable fsdp / pp_stages, or stream the data)"
+            )
+        self._resident = None
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -171,6 +180,7 @@ class Trainer:
         # with fresh inputs; see steps.make_multi_train_step)
         self.multi_train_step = None
         self.multi_eval_step = None  # built lazily in val_test_loop
+        self.resident_train_step = None  # built lazily per epoch (device_data)
         if self.steps_per_call > 1:
             if self._fsdp:
                 self.multi_train_step = make_fsdp_multi_train_step(
@@ -278,6 +288,8 @@ class Trainer:
         print(f"+------------------- Epoch {epoch + 1} -------------------+", flush=True)
         if self.writer is not None:
             self.writer.add_scalar("epochs", epoch, self.step_total)
+        if self._device_data and self._run_resident_epoch(epoch):
+            return
         from ..parallel.mesh import device_prefetch
 
         batches = self.train_loader.epoch(epoch)
@@ -316,6 +328,10 @@ class Trainer:
                 self.step_total += 1
                 timer.step()
                 pending.append((self.step_total, stats))
+        self._flush_epoch_stats(pending, timer, epoch)
+
+    def _flush_epoch_stats(self, pending, timer, epoch) -> None:
+        """Fetch the epoch's deferred on-device stats once (one host RTT)."""
         for step_no, stats in pending:
             loss = float(stats["loss"])
             acc = float(stats["acc"])
@@ -329,6 +345,78 @@ class Trainer:
             self.writer.add_scalar(
                 "perf/train_frames_per_sec", timer.frames_per_sec, self.step_total
             )
+
+    def _run_resident_epoch(self, epoch: int) -> bool:
+        """Run one epoch against HBM-resident data (``device_data=True``).
+
+        Returns False (caller streams instead) on multi-host meshes, where
+        a replicated global frame tensor is not constructible from one
+        process.  Epoch order reuses the loader's own ``_order`` — the same
+        permutation the streaming path would consume — and each dispatch
+        ships only a ``[G, B]`` int32 index block (see train/device_data.py
+        for the design, steps.make_resident_multi_train_step for the step).
+        """
+        if jax.process_count() > 1:
+            if not getattr(self, "_resident_warned", False):
+                self._resident_warned = True
+                print(
+                    "warning: device_data is single-controller only; "
+                    "falling back to the streaming loader"
+                )
+            return False
+        loader = self.train_loader
+        if not loader.drop_last:
+            raise ValueError(
+                "device_data requires a drop_last training loader (the "
+                "train step has no weight mask for pad sentinels)"
+            )
+        if self._resident is None:
+            from .device_data import ResidentData
+
+            self._resident = ResidentData(loader, self.mesh)
+            print(
+                f"resident training data: {self._resident.n} frames, "
+                f"{self._resident.nbytes / 2**20:.1f} MiB in HBM"
+            )
+        res = self._resident
+        bsz = loader.batch_size
+        order = loader._order(epoch, loader.shuffle)
+        n_full = len(order) // bsz
+        if n_full == 0:
+            return True
+        self.init_state(res.example_batch())
+        self._maybe_log_model_summary(res.example_batch())
+        if self.resident_train_step is None:
+            from .steps import make_resident_multi_train_step
+
+            self.resident_train_step = make_resident_multi_train_step(
+                self.model,
+                self.transform,
+                self.tx,
+                self.mesh,
+                aug_contrast=bool(self.args.aug_contrast),
+                aug_noise=bool(self.args.aug_noise),
+            )
+        idx = order[: n_full * bsz].astype(np.int32).reshape(n_full, bsz)
+        from .profiling import StepTimer
+
+        timer = StepTimer(bsz)
+        pending = []
+        group = max(1, self.steps_per_call)
+        for s in range(0, n_full, group):
+            rows = idx[s : s + group]  # [g, B]; tail g < group is fine
+            device_idx = shard_batch(self.mesh, rows, batch_axis=1)
+            self.state, stats = self.resident_train_step(
+                self.state, res.audio, res.labels, device_idx
+            )
+            for g in range(len(rows)):
+                self.step_total += 1
+                timer.step()
+                pending.append(
+                    (self.step_total, jax.tree.map(lambda x, g=g: x[g], stats))
+                )
+        self._flush_epoch_stats(pending, timer, epoch)
+        return True
 
     def _run_multi_steps(self, host_batches, pending, timer, epoch) -> None:
         """Consume an epoch in superbatches of ``steps_per_call`` (scan);

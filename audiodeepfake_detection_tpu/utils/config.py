@@ -114,6 +114,7 @@ def default_config() -> DotDict:
         fused_layer2=False,
         frame_cache=False,
         steps_per_call=1,
+        device_data=False,
         fsdp=False,
         fsdp_min_bytes=2**14,
         pp_stages=1,

@@ -81,13 +81,20 @@ def measure_tpu() -> float:
     return STEPS * BATCH / dt
 
 
-def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
+def measure_end_to_end(
+    frame_cache: bool, steps_per_call: int = 1, device_data: bool = False
+) -> float:
     """Sustained loader -> H2D -> train-step throughput with real files.
 
     Builds a synthetic wav corpus, optionally pre-decodes it into the frame
     cache (int16 batches, on-device conversion), and measures wall-clock
     frames/s including all host input work — the number BENCH_r01 lacked
     (round-1 verdict weak #3).
+
+    ``device_data`` parks the whole corpus in HBM once (int16) and ships
+    only [G, B] int32 indices per dispatch (train/device_data.py) — the
+    answer to the relay-bound e2e regime, where a G=4 superbatch otherwise
+    moves ~11 MB of audio through the ~85 ms-RTT relay every dispatch.
     """
     import shutil
     import sys
@@ -157,7 +164,35 @@ def measure_end_to_end(frame_cache: bool, steps_per_call: int = 1) -> float:
         state = create_train_state(model, tx, img, seed=0)
         mesh = get_mesh(jax.devices()[:1])
         g = max(1, steps_per_call)
-        if g > 1:
+        if device_data:
+            from audiodeepfake_detection_tpu.train.device_data import (
+                ResidentData,
+            )
+            from audiodeepfake_detection_tpu.train.steps import (
+                make_resident_multi_train_step,
+            )
+
+            res = ResidentData(loader, mesh)
+            resident_step = make_resident_multi_train_step(
+                model, transform, tx, mesh
+            )
+
+            def run_epoch(epoch, state):
+                order = loader._order(epoch, True)
+                n_full = len(order) // BATCH
+                idx = order[: n_full * BATCH].astype(np.int32)
+                idx = idx.reshape(n_full, BATCH)
+                stats, n = None, 0
+                for s in range(0, n_full, g):
+                    rows = idx[s : s + g]
+                    device_idx = shard_batch(mesh, rows, batch_axis=1)
+                    state, stats = resident_step(
+                        state, res.audio, res.labels, device_idx
+                    )
+                    n += rows.shape[0] * BATCH
+                return state, stats, n
+
+        elif g > 1:
             step = make_multi_train_step(model, transform, tx)
             single = make_train_step(model, transform, tx)
 
@@ -330,18 +365,29 @@ def main() -> None:
     )
     parser.add_argument("--no-frame-cache", action="store_true")
     parser.add_argument("--steps-per-call", type=int, default=1)
+    parser.add_argument(
+        "--device-data",
+        action="store_true",
+        help="HBM-resident corpus: dispatches ship only int32 indices",
+    )
     args = parser.parse_args()
     wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", 1500)))
     if args.end_to_end:
         fps = measure_end_to_end(
             frame_cache=not args.no_frame_cache,
             steps_per_call=args.steps_per_call,
+            device_data=args.device_data,
+        )
+        src = (
+            "device-resident"
+            if args.device_data
+            else ("frame cache" if not args.no_frame_cache else "native decode")
         )
         print(
             json.dumps(
                 {
                     "metric": "end-to-end train throughput incl. input pipeline"
-                    f" ({'frame cache' if not args.no_frame_cache else 'native decode'},"
+                    f" ({src},"
                     f" {args.steps_per_call} steps/dispatch)",
                     "value": round(fps, 1),
                     "unit": "frames/sec/chip",
