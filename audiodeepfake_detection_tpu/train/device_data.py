@@ -44,7 +44,9 @@ class ResidentData:
     the per-step gather is device-local under any data sharding.
     """
 
-    def __init__(self, loader, mesh, chunk: int = 512) -> None:
+    def __init__(
+        self, loader, mesh, chunk: int = 512, reserved_bytes: int = 0
+    ) -> None:
         n = len(loader.dataset)
         t = loader.target_len
         dtype = np.int16 if loader.emit == "int16" else np.float32
@@ -57,7 +59,9 @@ class ResidentData:
             labels[s : s + len(idxs)] = batch["label"]
         self.n = n
         self.nbytes = audio.nbytes
-        self._check_budget(audio.nbytes)
+        # reserved_bytes: what other resident tensors already hold (the
+        # trainer passes the cumulative total when parking eval sets too)
+        self._check_budget(audio.nbytes + reserved_bytes)
         k = min(2, max(n, 1))
         self._example: Dict[str, np.ndarray] = {
             "audio": audio[:k].copy(),
@@ -87,7 +91,8 @@ class ResidentData:
             limit = None
         if limit and nbytes > 0.6 * limit:
             raise ValueError(
-                f"resident training data ({nbytes / 2**30:.2f} GiB) exceeds "
-                f"60% of device memory ({limit / 2**30:.2f} GiB); use the "
-                "streaming loader (device_data=False) or emit='int16'"
+                f"resident data ({nbytes / 2**30:.2f} GiB cumulative) "
+                f"exceeds 60% of device memory ({limit / 2**30:.2f} GiB); "
+                "use the streaming loader (device_data=False) or "
+                "emit='int16'"
             )

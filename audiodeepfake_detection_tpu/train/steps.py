@@ -268,6 +268,58 @@ def _eval_step_body(model, transform):
     return eval_step
 
 
+def make_resident_multi_eval_step(
+    model,
+    transform: Callable[[jnp.ndarray], jnp.ndarray],
+    mesh=None,
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """A whole eval pass per dispatch over DEVICE-RESIDENT data.
+
+    Signature: ``(params, batch_stats, audio_all, labels_all, idx)`` with
+    ``idx [n_batches, B]`` int32; ``-1`` entries are tail-padding sentinels
+    that become zero-weight rows (gather index clamped to 0, every metric
+    contribution masked — the host re-masks row outputs by the same
+    ``idx >= 0`` predicate).  Because eval has no sequential dependency the
+    scan covers the ENTIRE loader in one dispatch: through a high-latency
+    host link (the dev relay, any remote pod controller) a full validation
+    pass costs one submission instead of one per batch — and the repeated
+    per-``validation_interval`` re-upload of the same eval set disappears
+    with it.  Results stack ``[n_batches, ...]`` exactly like
+    :func:`make_multi_eval_step`.
+    """
+    body = _eval_step_body(model, transform)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        audio_sharding = batch_sharding(mesh, 3)
+        label_sharding = batch_sharding(mesh, 1)
+
+    def multi_eval(params, batch_stats, audio_all, labels_all, idx):
+        def step(carry, batch_idx):
+            valid = batch_idx >= 0
+            safe = jnp.maximum(batch_idx, 0)
+            audio = jnp.take(audio_all, safe, axis=0)
+            labels = jnp.take(labels_all, safe, axis=0)
+            if mesh is not None:
+                audio = jax.lax.with_sharding_constraint(
+                    audio, audio_sharding
+                )
+                labels = jax.lax.with_sharding_constraint(
+                    labels, label_sharding
+                )
+            batch = {
+                "audio": audio,
+                "label": labels,
+                "weight": valid.astype(jnp.float32),
+            }
+            return carry, body(params, batch_stats, batch)
+
+        _, stacked = jax.lax.scan(step, 0, idx)
+        return stacked
+
+    return jax.jit(multi_eval)
+
+
 def make_multi_eval_step(
     model,
     transform: Callable[[jnp.ndarray], jnp.ndarray],

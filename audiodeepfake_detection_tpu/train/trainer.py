@@ -130,6 +130,7 @@ class Trainer:
                 "only (disable fsdp / pp_stages, or stream the data)"
             )
         self._resident = None
+        self._resident_eval_cache: Dict[int, Any] = {}
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -181,6 +182,7 @@ class Trainer:
         self.multi_train_step = None
         self.multi_eval_step = None  # built lazily in val_test_loop
         self.resident_train_step = None  # built lazily per epoch (device_data)
+        self.resident_eval_step = None  # built lazily in val_test_loop
         if self.steps_per_call > 1:
             if self._fsdp:
                 self.multi_train_step = make_fsdp_multi_train_step(
@@ -513,6 +515,10 @@ class Trainer:
         one per batch (the reference syncs per batch, and the TPU relay
         round-trip would otherwise dominate eval time)."""
         assert self.state is not None, "state not initialized"
+        if self._device_data:
+            out = self._resident_eval_loop(loader, name)
+            if out is not None:
+                return out
         ok_label = None
         count_label = None
         device_results = []
@@ -579,6 +585,96 @@ class Trainer:
             )
             consume(res, batch)
 
+        return self._eval_finalize(
+            name, ok_label, count_label, device_results, host_batches
+        )
+
+    def _resident_eval_data(self, loader):
+        """Per-loader HBM-resident eval set (cached), or None to stream.
+
+        Unlike the training set (where residency is the point of
+        ``device_data``), an eval set that would overflow the cumulative
+        HBM budget just falls back to streaming with a note — correctness
+        is identical either way.
+        """
+        if jax.process_count() > 1:
+            return None
+        key = id(loader)
+        if key in self._resident_eval_cache:
+            return self._resident_eval_cache[key]
+        from .device_data import ResidentData
+
+        reserved = sum(
+            r.nbytes
+            for r in [self._resident, *self._resident_eval_cache.values()]
+            if r is not None
+        )
+        try:
+            res = ResidentData(loader, self.mesh, reserved_bytes=reserved)
+        except ValueError as exc:
+            print(f"(resident eval set skipped, streaming instead: {exc})")
+            res = None
+        self._resident_eval_cache[key] = res
+        return res
+
+    def _resident_eval_loop(self, loader, name: str):
+        """Whole eval pass in ONE dispatch against resident data.
+
+        Returns ``(acc, eer)`` or None to fall back to the streaming loop.
+        Tail rows of the last partial batch are ``-1`` index sentinels —
+        zero-weight in-graph, and masked out host-side by the same
+        predicate (see steps.make_resident_multi_eval_step).
+        """
+        res = self._resident_eval_data(loader)
+        if res is None:
+            return None
+        bsz = loader.batch_size
+        order = loader._order(0, False)
+        n = len(order)
+        if loader.drop_last:
+            n_batches = n // bsz
+            flat = order[: n_batches * bsz]
+        else:
+            n_batches = -(-n // bsz)
+            flat = np.full(n_batches * bsz, -1, np.int64)
+            flat[:n] = order
+        if n_batches == 0:
+            return 0.0, 0.0
+        if self.resident_eval_step is None:
+            from .steps import make_resident_multi_eval_step
+
+            self.resident_eval_step = make_resident_multi_eval_step(
+                self.model, self.transform, self.mesh
+            )
+        idx = flat.astype(np.int32).reshape(n_batches, bsz)
+        stacked = self.resident_eval_step(
+            self.state.params,
+            self.state.batch_stats,
+            res.audio,
+            res.labels,
+            shard_batch(self.mesh, idx, batch_axis=1),
+        )
+        ok_label = stacked["ok_per_label"].sum(axis=0)
+        count_label = stacked["count_per_label"].sum(axis=0)
+        device_results = [
+            jax.tree.map(
+                lambda s, g=g: s[g],
+                (
+                    stacked["y"],
+                    stacked["out_max"],
+                    stacked["ok_mask"],
+                    stacked["scores"],
+                ),
+            )
+            for g in range(n_batches)
+        ]
+        host_batches = [
+            (
+                (idx[g] >= 0).astype(np.float32),
+                idx[g].astype(np.int64) if loader.include_index else None,
+            )
+            for g in range(n_batches)
+        ]
         return self._eval_finalize(
             name, ok_label, count_label, device_results, host_batches
         )

@@ -236,6 +236,66 @@ class TestResidentTrainer:
         assert int(np.asarray(trainer.state.step)) == 2
         assert trainer.resident_train_step is not None
 
+    def test_resident_eval_matches_streaming(
+        self, corpus, tmp_path_factory
+    ):
+        """Resident eval (one dispatch, -1 tail sentinels) must produce the
+        SAME metrics and true-index dumps as the streaming loop on the same
+        state — including the padded final partial batch."""
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        a = _args(corpus, tmp_path_factory, "ev")
+        a.device_data = True
+        a.epochs = 1
+        a.get_details = True  # test loaders emit indices
+        trainer = run_experiment(a)
+        assert any(
+            r is not None for r in trainer._resident_eval_cache.values()
+        ), "no eval set went resident during testing"
+
+        res_acc, res_eer = trainer.val_test_loop(
+            trainer.test_loader, name="rescheck"
+        )
+        res_idx = trainer.current_true_indices.get("rescheck")
+        trainer._device_data = False  # force the streaming loop
+        st_acc, st_eer = trainer.val_test_loop(
+            trainer.test_loader, name="streamcheck"
+        )
+        st_idx = trainer.current_true_indices.get("streamcheck")
+        assert res_acc == st_acc
+        np.testing.assert_allclose(res_eer, st_eer, atol=1e-9)
+        assert (res_idx is None) == (st_idx is None)
+        if st_idx is not None:
+            np.testing.assert_array_equal(res_idx, st_idx)
+
+    def test_eval_budget_overflow_streams(self, corpus, tmp_path_factory):
+        """An eval set that would overflow the cumulative HBM budget falls
+        back to streaming (None in the cache), not a crash."""
+        from audiodeepfake_detection_tpu.data.loader import FrameLoader
+        from audiodeepfake_detection_tpu.train import device_data as dd
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        a = _args(corpus, tmp_path_factory, "budget")
+        a.device_data = True
+        a.epochs = 1
+        trainer = run_experiment(a)
+
+        orig = dd.ResidentData._check_budget
+
+        def tiny_budget(nbytes):
+            raise ValueError("resident data (test) exceeds 60% of budget")
+
+        dd.ResidentData._check_budget = staticmethod(tiny_budget)
+        try:
+            loader = FrameLoader(
+                trainer.test_loader.dataset, 8, use_frame_cache=False
+            )
+            out = trainer.val_test_loop(loader, name="overflow")
+        finally:
+            dd.ResidentData._check_budget = staticmethod(orig)
+        assert trainer._resident_eval_cache[id(loader)] is None
+        assert 0.0 <= out[0] <= 1.0  # streamed result, not a crash
+
     def test_guards(self, tmp_path):
         """device_data is DP-only and needs a drop_last loader."""
         from audiodeepfake_detection_tpu.models import DCNN
