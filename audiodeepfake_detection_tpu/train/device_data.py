@@ -49,7 +49,14 @@ class ResidentData:
     ) -> None:
         n = len(loader.dataset)
         t = loader.target_len
-        dtype = np.int16 if loader.emit == "int16" else np.float32
+        dtype = np.dtype(np.int16 if loader.emit == "int16" else np.float32)
+        # Gate BEFORE allocating/decoding: an over-budget corpus must fail
+        # in microseconds, not after paying the full decode time and GBs of
+        # host RAM.  reserved_bytes: what other resident tensors already
+        # hold (the trainer passes the cumulative total when parking eval
+        # sets too).
+        nbytes = n * t * dtype.itemsize
+        self._check_budget(nbytes + reserved_bytes)
         audio = np.empty((n, 1, t), dtype)
         labels = np.empty((n,), np.int32)
         for s in range(0, n, chunk):
@@ -59,9 +66,6 @@ class ResidentData:
             labels[s : s + len(idxs)] = batch["label"]
         self.n = n
         self.nbytes = audio.nbytes
-        # reserved_bytes: what other resident tensors already hold (the
-        # trainer passes the cumulative total when parking eval sets too)
-        self._check_budget(audio.nbytes + reserved_bytes)
         k = min(2, max(n, 1))
         self._example: Dict[str, np.ndarray] = {
             "audio": audio[:k].copy(),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -38,6 +39,12 @@ from .steps import (
     make_optimizer,
     make_train_step,
 )
+
+
+# Device allocation failures surface as JaxRuntimeError (XlaRuntimeError is
+# its alias/subclass in current jax); used where an OOM should mean "fall
+# back to streaming", not "crash eval".
+_DEVICE_ALLOC_ERRORS = (jax.errors.JaxRuntimeError,)
 
 
 class Trainer:
@@ -130,7 +137,13 @@ class Trainer:
                 "only (disable fsdp / pp_stages, or stream the data)"
             )
         self._resident = None
-        self._resident_eval_cache: Dict[int, Any] = {}
+        # Keyed by the loader OBJECT (weakly): id()-keying could serve a
+        # stale ResidentData to a new loader that reuses a dead loader's
+        # id, and would pin HBM for loaders long gone.  A WeakKeyDictionary
+        # drops the entry (and its device arrays) when the loader dies.
+        self._resident_eval_cache: "weakref.WeakKeyDictionary[Any, Any]" = (
+            weakref.WeakKeyDictionary()
+        )
         self._build_steps()
 
         self.state: Optional[TrainState] = None
@@ -599,9 +612,8 @@ class Trainer:
         """
         if jax.process_count() > 1:
             return None
-        key = id(loader)
-        if key in self._resident_eval_cache:
-            return self._resident_eval_cache[key]
+        if loader in self._resident_eval_cache:
+            return self._resident_eval_cache[loader]
         from .device_data import ResidentData
 
         reserved = sum(
@@ -611,10 +623,16 @@ class Trainer:
         )
         try:
             res = ResidentData(loader, self.mesh, reserved_bytes=reserved)
-        except ValueError as exc:
+        except (ValueError,) + _DEVICE_ALLOC_ERRORS as exc:
+            # ValueError: the best-effort budget gate; the runtime errors:
+            # an actual device OOM on backends where memory_stats() is
+            # absent and the gate is disabled.  Either way stream instead.
             print(f"(resident eval set skipped, streaming instead: {exc})")
             res = None
-        self._resident_eval_cache[key] = res
+        try:
+            self._resident_eval_cache[loader] = res
+        except TypeError:
+            pass  # loader not weakref-able: just don't cache
         return res
 
     def _resident_eval_loop(self, loader, name: str):

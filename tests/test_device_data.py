@@ -293,7 +293,7 @@ class TestResidentTrainer:
             out = trainer.val_test_loop(loader, name="overflow")
         finally:
             dd.ResidentData._check_budget = staticmethod(orig)
-        assert trainer._resident_eval_cache[id(loader)] is None
+        assert trainer._resident_eval_cache[loader] is None
         assert 0.0 <= out[0] <= 1.0  # streamed result, not a crash
 
     def test_guards(self, tmp_path):
