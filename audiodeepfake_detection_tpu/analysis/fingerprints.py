@@ -9,13 +9,11 @@ real corpus.
 The deep (level-14) WPT over full clips is the long-sequence workload of
 this domain; ``wpt_fingerprint`` runs the same mesh-sharded cascade as
 training (time is embarrassingly parallel within a level; for multi-chip
-sharding of very long clips see ``parallel/sequence.py``).  CAVEAT: the
-time-sharded ``sp_wpt_analysis`` is exactly equal to ``wpt_analysis`` only
-for haar (the fingerprint wavelet); for longer filters (sym5/coif4) it
-truncates ptwt's trailing boundary outputs per level and interior
-coefficients match but the last few time steps differ
-(parallel/sequence.py:56-61) — don't swap it in for those wavelets when
-bit-parity with the reference matters.
+sharding of very long clips see ``parallel/sequence.py``).  The
+time-sharded ``sp_wpt_analysis`` is a drop-in equal of ``wpt_analysis``
+(to fp32 roundoff) for every wavelet, trailing reflect-boundary
+coefficients included — the last shard emits them locally since it holds
+the global right edge (parallel/sequence.py).
 """
 
 from __future__ import annotations

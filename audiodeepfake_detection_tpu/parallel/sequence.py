@@ -7,16 +7,32 @@ scripts/freq_visual/fingerprints.py:105) — a single chip's HBM and compute
 can be the limit, so this module shards the *time* axis across the mesh and
 exchanges only the filter halo per level over ICI.
 
-Key observation: with ptwt's padding (padl = (2L-3)//2 left), the
-stride-2 output block owned by a time shard depends on exactly ``padl``
-samples from its left neighbour and nothing from the right (for even filter
-lengths, padl = L-2 and the last owned output touches precisely the last
-owned input sample).  So each level needs ONE ``ppermute`` of ``padl``
-samples per node — a tiny transfer that rides ICI.
+Exactness (all wavelets): with ptwt's padding (padl = (2L-3)//2 left,
+padr = padl + (n % 2) right, reference wavelet_math.py:182-204 length
+semantics), each level's output splits into
+
+* an *interior* block of ``m/2`` coefficients per shard, whose stride-2
+  windows touch only the shard's own samples plus ``padl`` halo samples
+  from the left neighbour (one tiny ``ppermute`` per level over ICI); and
+* a *boundary tail* of ``tail' = (tail + L - 1)//2`` coefficients produced
+  by the right reflect padding, which depends only on the signal's global
+  right edge — so it is computed locally on the LAST shard, which holds
+  that edge.
+
+Every shard therefore carries ``[B, N, m + tail]`` per level where the
+trailing ``tail`` columns are meaningful only on the last shard (garbage
+elsewhere, never read by interiors: the next level's halo is sliced from
+the interior end).  ``tail`` follows the fixed-point recursion above and
+converges to ``L - 2`` — a handful of columns, statically known per level
+because the level loop is a Python loop.  The final output stitches the
+all-shard interiors with the last shard's tail and equals
+:func:`~audiodeepfake_detection_tpu.ops.wpt.wpt_analysis` to fp32 roundoff
+for every wavelet (haar's ``padl == 0`` degenerates to the halo-free case).
 
 Requirement: the clip length must be divisible by ``shards * 2**level`` so
 every level keeps even, aligned local blocks (the fingerprint pipeline
-already crops clips to a multiple of ``2**level``).
+already crops clips to a multiple of ``2**level``), and local blocks must
+stay longer than the filter halo at the deepest level.
 """
 
 from __future__ import annotations
@@ -32,33 +48,50 @@ from ..ops.wavelets import get_wavelet
 from ..ops.wpt import _dec_kernel, graycode_permutation
 
 
-def _sp_dwt_level(x: jnp.ndarray, kernel: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """One analysis level on a time shard ``[B, N, n_loc]`` (inside shard_map)."""
+def _sp_dwt_level(
+    x: jnp.ndarray, kernel: jnp.ndarray, axis: str, m: int, g: int, shards: int
+) -> jnp.ndarray:
+    """One analysis level on a time shard ``[B, N, m + tail]`` (in shard_map).
+
+    ``m`` is the per-shard interior length, ``g`` the global dense (ptwt)
+    length at this level; ``tail = g - shards*m`` trailing columns are valid
+    only on the last shard.  Returns ``[B, 2N, m/2 + tail']`` with
+    ``tail' = (tail + L - 1)//2``.
+    """
     filt_len = kernel.shape[-1]
     padl = (2 * filt_len - 3) // 2
+    tail = g - shards * m
+    padr = padl + (g % 2)
     idx = jax.lax.axis_index(axis)
     size = jax.lax.axis_size(axis)
 
-    # halo: every shard receives the last `padl` samples of its left
-    # neighbour; shard 0 replaces the garbage it gets with reflect padding.
+    parts = []
     if padl > 0:
+        # halo: every shard receives the last `padl` INTERIOR samples of its
+        # left neighbour (the tail columns sit to the right of the last
+        # shard's interior, i.e. past the global end — never part of a halo);
+        # shard 0 replaces the garbage it gets with reflect padding.
         halo = jax.lax.ppermute(
-            x[..., -padl:],
+            x[..., m - padl : m],
             axis,
             [(i, (i + 1) % size) for i in range(size)],
         )
         reflect = x[..., 1 : padl + 1][..., ::-1]
         halo = jnp.where(idx == 0, reflect, halo)
-        x_ext = jnp.concatenate([halo, x], axis=-1)
-    else:
-        x_ext = x
+        parts.append(halo)
+    parts.append(x)
+    if padr > 0:
+        # right reflect pad of the global signal: meaningful on the last
+        # shard only, whose local array ends exactly at the global end.
+        n_loc = m + tail
+        rpad = x[..., n_loc - 1 - padr : n_loc - 1][..., ::-1]
+        parts.append(rpad)
+    x_ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
 
-    # VALID conv over [padl + m] yields exactly m/2 outputs per shard: the
-    # window of the last owned output ends on the last owned input sample.
-    # ptwt additionally emits padl/2 boundary outputs from the right reflect
-    # pad; the time-sharded transform truncates those (exact for haar where
-    # padl == 0 — the fingerprint wavelet; a vanishing trailing region for
-    # longer filters).
+    # One VALID conv over [padl + m + tail + padr] yields exactly
+    # m/2 interior outputs followed by tail' boundary outputs: the window of
+    # the last output ends on the last right-pad sample (parity arithmetic:
+    # padl = L-2 and padr = L-2 + tail%2 make the count land exactly).
     b, nodes, n_ext = x_ext.shape
     y = jax.lax.conv_general_dilated(
         x_ext.reshape(b * nodes, 1, n_ext),
@@ -68,7 +101,8 @@ def _sp_dwt_level(x: jnp.ndarray, kernel: jnp.ndarray, axis: str) -> jnp.ndarray
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,
     )
-    n_out = x.shape[-1] // 2
+    n_out = m // 2 + (tail + filt_len - 1) // 2
+    assert y.shape[-1] == n_out, (y.shape, m, tail, filt_len)
     return y.reshape(b, 2 * nodes, n_out)
 
 
@@ -82,11 +116,14 @@ def sp_wpt_analysis(
     mesh: Mesh,
     axis: str = "data",
 ) -> jnp.ndarray:
-    """Time-sharded WPT over ``mesh``: ``[B, T] -> [B, 2**level, T/2**level]``.
+    """Time-sharded WPT over ``mesh``: ``[B, T] -> [B, 2**level, n_level]``.
 
     ``T`` must be divisible by ``mesh.shape[axis] * 2**level``.  Node order
-    is the Gray-code frequency order, identical to
-    :func:`~audiodeepfake_detection_tpu.ops.wpt.wpt_analysis`.
+    is the Gray-code frequency order and ``n_level`` the pywt length rule
+    ``n' = (n + L - 1)//2`` applied ``level`` times — the output is a
+    drop-in equal (to fp32 roundoff) of
+    :func:`~audiodeepfake_detection_tpu.ops.wpt.wpt_analysis` for every
+    supported wavelet, boundary coefficients included.
     """
     shards = mesh.shape[axis]
     t = x.shape[-1]
@@ -95,12 +132,22 @@ def sp_wpt_analysis(
     )
     wavelet = get_wavelet(wavelet_name)
     kernel = _dec_kernel(wavelet, x.dtype)
+    filt_len = int(kernel.shape[-1])
+    padl = (2 * filt_len - 3) // 2
+    # the deepest level's halo/reflect slices need local interiors longer
+    # than the filter overhang
+    assert 2 * (t // (shards * 2**level)) >= padl + 1, (
+        f"per-shard block too short for {wavelet_name} at level {level}: "
+        f"need T >= shards * 2**(level-1) * {padl + 1}"
+    )
 
     def local_cascade(x_local):
         y = x_local[:, None, :]
+        m, g = t // shards, t
         for _ in range(level):
-            y = _sp_dwt_level(y, kernel, axis)
-        return y
+            y = _sp_dwt_level(y, kernel, axis, m, g, shards)
+            m, g = m // 2, (g + filt_len - 1) // 2
+        return y[..., :m], y[..., m:]
 
     from jax import shard_map
 
@@ -108,8 +155,14 @@ def sp_wpt_analysis(
         local_cascade,
         mesh=mesh,
         in_specs=P(None, axis),
-        out_specs=P(None, None, axis),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
         check_vma=False,
     )
-    y = fn(x)
+    interior, tails = fn(x)
+    tail_len = tails.shape[-1] // shards
+    if tail_len:
+        # only the LAST shard's tail block is the true global boundary
+        y = jnp.concatenate([interior, tails[..., -tail_len:]], axis=-1)
+    else:
+        y = interior
     return y[:, np.asarray(graycode_permutation(level)), :]
