@@ -1,0 +1,225 @@
+"""Full-chain numeric score A/B vs the torch reference on real audio.
+
+The strongest in-image parity statement available (the training corpus is
+not shipped): the bundled real/GAN clips are pushed through TWO complete
+scoring chains —
+
+* **torch composite oracle**: ``torch.stft`` power spectrogram with the
+  reference ``STFTLayer`` semantics (reference wavelet_math.py:25-68), or
+  the torch conv1d WPT cascade (math-identical to ptwt's reflect-padded
+  packets, reference wavelet_math.py:182-204), then per-channel
+  normalization, then the *reference* DCNN class loaded with the bundled
+  checkpoint weights (reference train_classifier.py:965-969 eval chain);
+* **our exported scorer**: ``build_scorer_from_snapshot`` +
+  ``make_score_fn`` (train/predict.py) — the serving path users run.
+
+Both chains share the decoded samples, the 1 s framing, and the
+normalization constants (estimated from the clip set, since the bundled
+checkpoints ship no ``*_mean_std.pkl``), so the assert isolates
+transform + normalize + model *composition* parity on real data — much
+stronger than the rank-order margins in test_end_to_end.py.
+
+Measured deltas (this container, fp32): sym5 packets margins agree within
+atol 5e-4 / rtol 1e-4; stft margins (magnitude ~10-19) agree to max
+relative 2.6e-4 (max absolute 2.8e-3) — the log spectrogram spans ~100 dB,
+so near-zero bins amplify fp32 DFT roundoff more than the packet chain.
+Asserted at rtol 5e-4 with per-tag atol.
+"""
+
+from __future__ import annotations
+
+import glob
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo/tests")
+from reference_oracle import reference_dcnn  # noqa: E402
+
+from audiodeepfake_detection_tpu.models.torch_import import (  # noqa: E402
+    export_state_dict,
+    import_dcnn,
+    load_torch_state_dict,
+)
+
+CLIPS = [
+    "/root/reference/tests/data/real/LJ008-0217.wav",
+    "/root/reference/tests/data/ljspeech_melgan/LJ008-0217_gen.wav",
+    "/root/reference/audio-samples/classification_examples/"
+    "B_melgan_LJ016-0433_gen_4.wav",
+    "/root/reference/audio-samples/classification_examples/"
+    "K_lbigvgan_LJ002-0061_generated_3.wav",
+]
+SR, WIN = 22050, 22050
+ATOL = {"stft": 5e-3, "packetssym5": 5e-4}
+RTOL = {"stft": 5e-4, "packetssym5": 1e-4}
+
+
+def _frames():
+    """Shared decode + 1 s framing for both chains: [N, WIN] float32."""
+    from audiodeepfake_detection_tpu.data.wavio import audio_read
+
+    frames, owners = [], []
+    for fi, path in enumerate(CLIPS):
+        audio, sr = audio_read(path)
+        assert sr == SR
+        for i in range(min(2, len(audio) // WIN)):
+            frames.append(audio[i * WIN : (i + 1) * WIN])
+            owners.append(fi)
+    return np.stack(frames).astype(np.float32), np.asarray(owners)
+
+
+def _torch_stft_image(frames: np.ndarray, n_fft: int, hop: int) -> torch.Tensor:
+    """Reference STFTLayer: Spectrogram(n_fft, hop, power=2) + log(.+1e-12).
+
+    torchaudio.transforms.Spectrogram defaults replicated with plain
+    torch.stft: periodic hann of win_length=n_fft, center=True reflect
+    padding, onesided, not normalized (reference wavelet_math.py:47,64-66).
+    """
+    x = torch.from_numpy(frames)
+    st = torch.stft(
+        x,
+        n_fft=n_fft,
+        hop_length=hop,
+        win_length=n_fft,
+        window=torch.hann_window(n_fft, periodic=True),
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    spec = st.abs() ** 2
+    return torch.log(spec + 1e-12)[:, None]  # [B, 1, F, T']
+
+
+def _torch_packet_image(frames: np.ndarray, wavelet: str, level: int) -> torch.Tensor:
+    """ptwt-semantics WPT via torch conv1d (reflect pad, pywt length rule,
+    Gray-code order) + the reference Packets log scaling."""
+    from audiodeepfake_detection_tpu.ops.wavelets import get_wavelet
+
+    w = get_wavelet(wavelet)
+    dec = torch.tensor(
+        np.stack([w.dec_lo[::-1], w.dec_hi[::-1]])[:, None, :],
+        dtype=torch.float32,
+    )
+    filt_len = dec.shape[-1]
+    y = torch.from_numpy(frames)[:, None, :]
+    for _ in range(level):
+        b, nodes, n = y.shape
+        padl = (2 * filt_len - 3) // 2
+        padr = padl + (n % 2)
+        y = y.reshape(b * nodes, 1, n)
+        y = torch.nn.functional.pad(y, (padl, padr), mode="reflect")
+        y = torch.nn.functional.conv1d(y, dec, stride=2)
+        y = y.reshape(b, nodes * 2, y.shape[-1])
+    idx = torch.arange(2**level)
+    idx = idx ^ (idx >> 1)
+    return torch.log(torch.abs(y[:, idx, :]) ** 2 + 1e-12)[:, None]
+
+
+def _oracle_margins(
+    snapshot: str, image: torch.Tensor, mean: np.ndarray, std: np.ndarray
+) -> np.ndarray:
+    """Reference DCNN on normalized images -> fake-real logit margin."""
+    state = load_torch_state_dict(snapshot)
+    variables = import_dcnn(state)
+    t_dim = image.shape[-1]
+    # geometry not in the filename: recover time_dim from the checkpoint's
+    # dilated-conv kernel (same trick as build_scorer_from_snapshot)
+    time_dim = int(variables["params"]["dil_1"]["Conv_0"]["kernel"].shape[2])
+    ref = reference_dcnn(
+        "DCNN",
+        input_dim=[image.shape[0], 1, image.shape[2], t_dim],
+        time_dim_add=time_dim - t_dim // 8,
+    )
+    if ref is None:
+        pytest.skip("reference checkout unavailable")
+    # re-key through the kind-ordered export so legacy Sequential indices
+    # load into the modern reference class (same trick as test_models.py)
+    rekeyed = export_state_dict(variables, layout="dcnn")
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in rekeyed.items()})
+    ref.eval()
+    m = torch.from_numpy(mean.astype(np.float32)).reshape(1, -1, 1, 1)
+    s = torch.from_numpy(std.astype(np.float32)).reshape(1, -1, 1, 1)
+    with torch.no_grad():
+        logits = ref((image - m) / s).numpy()
+    return logits[:, 1] - logits[:, 0]
+
+
+def _ours_margins(snapshot: str, frames: np.ndarray, mean, std) -> np.ndarray:
+    """The exported scorer path: build_scorer_from_snapshot + make_score_fn."""
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.train.predict import (
+        build_scorer_from_snapshot,
+        make_score_fn,
+    )
+
+    model, transform, variables, cfg = build_scorer_from_snapshot(
+        snapshot, mean=mean, std=std, use_pallas=False
+    )
+    score = make_score_fn(model, transform, variables, output="margin")
+    return np.asarray(score(jnp.asarray(frames[:, None, :])))
+
+
+def _shared_stats(snapshot: str, frames: np.ndarray):
+    """Per-channel mean/std from OUR base transform over the clip frames —
+    applied identically to both chains (the bundled checkpoints ship no
+    training-corpus stats)."""
+    import jax.numpy as jnp
+
+    from audiodeepfake_detection_tpu.train.predict import build_scorer_from_snapshot
+    from audiodeepfake_detection_tpu.train.transforms import compute_normalization
+
+    _, base, _, cfg = build_scorer_from_snapshot(
+        snapshot, expect_self_norm=True, use_pallas=False
+    )
+    probe = np.asarray(base(jnp.asarray(frames[:1, None, :])))
+    mean, std = compute_normalization(
+        base, [frames[:, None, :]], probe.shape[1]
+    )
+    return mean, std, cfg
+
+
+@pytest.mark.parametrize("tag", ["stft", "packetssym5"])
+def test_full_chain_score_parity(tag):
+    paths = glob.glob(f"/root/reference/models/model_{tag}_*.pt")
+    if not paths:
+        pytest.skip("bundled checkpoints unavailable")
+    snapshot = paths[0]
+    frames, owners = _frames()
+    assert len(frames) >= 6
+
+    mean, std, cfg = _shared_stats(snapshot, frames)
+
+    if tag == "stft":
+        n_fft = int(cfg.num_of_scales) * 2 - 1
+        image = _torch_stft_image(frames, n_fft, int(cfg.hop_length))
+    else:
+        level = int(np.log2(int(cfg.num_of_scales)))
+        image = _torch_packet_image(frames, cfg.wavelet, level)
+
+    want = _oracle_margins(snapshot, image, mean, std)
+    got = _ours_margins(snapshot, frames, mean, std)
+
+    # per-frame logit-margin parity: the full decode->frame->transform->
+    # normalize->model chain agrees with the torch reference at fp32
+    np.testing.assert_allclose(got, want, atol=ATOL[tag], rtol=RTOL[tag])
+
+    # per-clip aggregated score parity (the serving aggregation)
+    for fi in np.unique(owners):
+        ours = float(np.mean(got[owners == fi]))
+        ref = float(np.mean(want[owners == fi]))
+        assert abs(ours - ref) < ATOL[tag] + RTOL[tag] * abs(ref), (
+            CLIPS[fi], ours, ref,
+        )
+
+    # the chain discriminates: real clip margin below every fake clip margin
+    clip_margin = {
+        fi: float(np.mean(got[owners == fi])) for fi in np.unique(owners)
+    }
+    assert all(clip_margin[0] < clip_margin[fi] for fi in clip_margin if fi)
