@@ -376,6 +376,7 @@ def run_experiment(args: DotDict, mesh=None, writer=None) -> Trainer:
         writer=writer,
         mesh=mesh,
         label_names=test_loader.dataset.label_names,
+        norm_stats=None if args.block_norm else (mean, std),
     )
 
     if args.only_testing:
@@ -484,6 +485,7 @@ def run_experiment_vectorized(args_list, mesh=None):
                 writer=writer,
                 mesh=mesh,
                 label_names=test_loader.dataset.label_names,
+                norm_stats=None if base.block_norm else (mean, std),
             )
         )
         train_loaders.append(

@@ -156,6 +156,16 @@ def build_scorer_from_snapshot(
     cfg.log_scale = log_scale
     base = make_transform(cfg, use_pallas=use_pallas)
 
+    import os
+
+    if norm is None and mean is None and std is None:
+        # snapshots written by this framework's Trainer carry their
+        # normalization stats as a sidecar — a .pt is then a complete
+        # serving artifact (the reference keeps stats in a separate
+        # log-dir pickle keyed by dataset name, wavelet_math.py:327-347)
+        sidecar = snapshot + ".norm.pkl"
+        if os.path.exists(sidecar):
+            norm = sidecar
     if norm is not None:
         with open(norm, "rb") as fh:
             mean, std = pickle.load(fh)
@@ -202,6 +212,56 @@ def build_scorer_from_snapshot(
             "(DCNN family and LCNN checkpoints are)"
         )
     return model, transform, variables, cfg
+
+
+def estimate_norm_stats(
+    snapshot: str,
+    paths: Sequence[str],
+    out: "str | None" = None,
+    batch_size: int = 64,
+    use_pallas: "bool | None" = None,
+):
+    """Estimate per-channel normalization stats from a clip set and (optionally)
+    write them as the snapshot's ``.norm.pkl`` sidecar.
+
+    For imported checkpoints that ship without training-corpus stats (the
+    bundled reference checkpoints): Welford mean/std of the snapshot's own
+    transform over ``paths``, the same estimator training uses (reference
+    wavelet_math.py:419-441).  Returns ``(mean, std)``.  The approximation
+    quality is clip-set dependent — see docs/parity.md.
+    """
+    import jax.numpy as jnp
+
+    from ..data.wavio import audio_read
+    from ..ops.audio import resample
+    from .transforms import compute_normalization
+
+    model, base, variables, cfg = build_scorer_from_snapshot(
+        snapshot, expect_self_norm=True, use_pallas=use_pallas
+    )
+    sr, win = int(cfg.sample_rate), int(cfg.sample_rate * cfg.seconds)
+    frames: List[np.ndarray] = []
+    for path in _expand_inputs(paths):
+        audio, in_sr = audio_read(path)
+        if in_sr > sr:
+            audio = resample(audio, in_sr, sr)
+        for i in range(len(audio) // win):
+            frames.append(audio[i * win : (i + 1) * win])
+    if not frames:
+        raise ValueError("no full frames decodable from the given paths")
+
+    def _batches():
+        for s in range(0, len(frames), batch_size):
+            yield np.stack(frames[s : s + batch_size])[:, None, :]
+
+    probe = np.asarray(base(jnp.asarray(frames[0][None, None, :])))
+    mean, std = compute_normalization(base, _batches(), probe.shape[1])
+    if out is not None:
+        import pickle
+
+        with open(out, "wb") as fh:
+            pickle.dump([np.asarray(mean), np.asarray(std)], fh)
+    return mean, std
 
 
 def _expand_inputs(inputs) -> list:

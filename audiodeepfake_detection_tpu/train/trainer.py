@@ -64,12 +64,18 @@ class Trainer:
         writer=None,
         mesh=None,
         label_names: Optional[Dict[int, str]] = None,
+        norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> None:
         self.model = model
         self.transform = transform
         self.args = args
         self.snapshot_path = snapshot_path + ".pt"
         self.orbax_path = snapshot_path + ".orbax"
+        # (mean, std) baked into `transform`; exported next to every .pt so
+        # a snapshot is a complete serving artifact (the reference keeps
+        # stats in a separate log-dir pickle keyed by the DATASET name,
+        # wavelet_math.py:327-347 — losing the checkpoint<->stats pairing)
+        self.norm_stats = norm_stats
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.test_loader = test_loader
@@ -817,6 +823,15 @@ class Trainer:
             )
         except Exception as exc:  # torch-free host: fall back to pickle only
             print(f"(.pt export skipped: {exc})")
+        if self.norm_stats is not None:
+            # normalization stats ride along with the snapshot:
+            # build_scorer_from_snapshot auto-loads <snapshot>.norm.pkl
+            mean, std = self.norm_stats
+            with open(self.snapshot_path + ".norm.pkl", "wb") as fh:
+                pickle.dump(
+                    [np.asarray(mean, np.float32), np.asarray(std, np.float32)],
+                    fh,
+                )
         full_state = {
             "variables": variables,
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),

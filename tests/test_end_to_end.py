@@ -148,6 +148,14 @@ class TestEndToEnd:
         norm_files = os.listdir(args.log_dir + "/norms")
         assert any(f.endswith("_mean_std.pkl") for f in norm_files)
 
+        # ... and shipped as a sidecar next to the snapshot, making the .pt
+        # a complete serving artifact (auto-loaded by the scorer)
+        import pickle as _pickle
+
+        with open(trainer.snapshot_path + ".norm.pkl", "rb") as fh:
+            side_mean, side_std = _pickle.load(fh)
+        assert np.isfinite(side_mean).all() and (np.asarray(side_std) > 0).all()
+
         # reload: only_testing mode consumes the snapshot
         args2 = args.copy()
         args2.only_testing = True

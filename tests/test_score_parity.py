@@ -223,3 +223,74 @@ def test_full_chain_score_parity(tag):
         fi: float(np.mean(got[owners == fi])) for fi in np.unique(owners)
     }
     assert all(clip_margin[0] < clip_margin[fi] for fi in clip_margin if fi)
+
+
+class TestNormStatsArtifact:
+    """Normalization stats as a first-class snapshot sidecar (round 4)."""
+
+    def test_estimate_writes_sidecar_and_scorer_autoloads(self, tmp_path):
+        import shutil
+
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.train.predict import (
+            build_scorer_from_snapshot,
+            estimate_norm_stats,
+        )
+
+        src = glob.glob("/root/reference/models/model_packetssym5_*.pt")
+        if not src:
+            pytest.skip("bundled checkpoints unavailable")
+        # copy so the sidecar can live NEXT to the snapshot (reference
+        # checkout is read-only)
+        snap = str(tmp_path / src[0].split("/")[-1])
+        shutil.copy(src[0], snap)
+
+        mean, std = estimate_norm_stats(
+            snap, CLIPS[:2], out=snap + ".norm.pkl", use_pallas=False
+        )
+        mean, std = np.asarray(mean), np.asarray(std)
+        assert np.isfinite(mean).all() and (np.asarray(std) > 0).all()
+
+        # no explicit stats: the sidecar auto-loads and the transform
+        # equals the explicitly-normalized one
+        _, t_auto, _, _ = build_scorer_from_snapshot(snap, use_pallas=False)
+        _, t_expl, _, _ = build_scorer_from_snapshot(
+            snap, mean=mean, std=std, use_pallas=False
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(1, 1, WIN).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_auto(x)), np.asarray(t_expl(x)), atol=1e-6
+        )
+
+    def test_coif4_not_rehabilitated_by_clip_set_stats(self):
+        """Round-3 verdict item 7: estimating stats from the in-image clip
+        set does NOT resolve the coif4 saturation — locked as documented in
+        docs/parity.md (margins stay large-negative, real clip not ranked
+        below the fakes)."""
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.train.predict import (
+            build_scorer_from_snapshot,
+            estimate_norm_stats,
+            make_score_fn,
+        )
+
+        paths = glob.glob("/root/reference/models/model_packetscoif4_*.pt")
+        if not paths:
+            pytest.skip("bundled checkpoints unavailable")
+        mean, std = estimate_norm_stats(paths[0], CLIPS, use_pallas=False)
+        model, transform, variables, _ = build_scorer_from_snapshot(
+            paths[0], mean=np.asarray(mean), std=np.asarray(std),
+            use_pallas=False,
+        )
+        score = make_score_fn(model, transform, variables, output="margin")
+        frames, owners = _frames()
+        margins = np.asarray(score(jnp.asarray(frames[:, None, :])))
+        # saturated 'real' on everything; real clip NOT separated
+        assert margins.max() < -30
+        real = margins[owners == 0].mean()
+        fakes = [margins[owners == fi].mean() for fi in np.unique(owners)[1:]]
+        assert not all(real < f for f in fakes)
