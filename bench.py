@@ -31,7 +31,7 @@ LEVEL = 8
 STEPS = 100
 
 
-def measure_tpu() -> float:
+def measure_tpu():
     import jax
 
     try:  # persistent cache: repeat benchmark runs skip the remote compile
@@ -78,7 +78,34 @@ def measure_tpu() -> float:
         state, stats = step(state, dbatch)
     float(stats["loss"])  # force completion of the chain
     dt = time.time() - t0
-    return STEPS * BATCH / dt
+    step_s = dt / STEPS
+
+    # Efficiency, not just throughput (round-3 verdict weak #7): derive
+    # achieved HBM bandwidth / MFU from XLA's compiled cost model so the
+    # driver-captured JSON catches efficiency regressions that frames/s
+    # hides.  CAVEAT: Pallas custom calls report ~0 bytes/flops to the XLA
+    # cost analysis, so these are lower bounds covering the XLA-visible
+    # portion of the step (WPT, later convs, backward, optimizer) — stable
+    # as a regression signal, not an absolute roofline claim (that lives
+    # in docs/benchmarks.md with the hand-itemized inventory).
+    eff = {}
+    try:
+        ca = step.lower(state, dbatch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] or {}
+        xla_bytes = float(ca.get("bytes accessed", 0.0))
+        flops = float(ca.get("flops", 0.0))
+        if xla_bytes > 0:
+            eff["xla_bytes_per_step"] = xla_bytes
+            # v5e HBM peak ~819 GB/s
+            eff["hbm_gbps"] = xla_bytes / step_s / 1e9
+            eff["hbm_util"] = xla_bytes / step_s / 819e9
+        if flops > 0:
+            # v5e bf16 peak ~197 TFLOP/s
+            eff["mfu"] = flops / step_s / 197e12
+    except Exception:
+        pass
+    return STEPS * BATCH / dt, step_s, eff
 
 
 def measure_end_to_end(
@@ -396,18 +423,18 @@ def main() -> None:
             )
         )
         return
-    fps = measure_tpu()
+    fps, step_s, eff = measure_tpu()
     base = cpu_baseline(args.measure_cpu)
-    print(
-        json.dumps(
-            {
-                "metric": "fused train-step throughput (packets-sym5 + DCNN, batch 128, 1s@22050Hz)",
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / base, 1),
-            }
-        )
-    )
+    payload = {
+        "metric": "fused train-step throughput (packets-sym5 + DCNN, batch 128, 1s@22050Hz)",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / base, 1),
+        "step_ms": round(step_s * 1e3, 3),
+    }
+    for k, v in eff.items():
+        payload[k] = round(v, 4) if v < 1e6 else round(v)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
