@@ -18,10 +18,13 @@ running stats and data order (per-seed shuffled loaders), so the final
 per-seed states equal the serial grid's (locked by tests/test_vectorized.py
 at step level and tests/test_sweep.py end-to-end).
 
-Memory scales with S: activations dominate (the DCNN's layer-1 tensor is
-~100 MB/seed at batch 128 bf16, ~2x that fp32), so large-batch fp32-parity
-sweeps may need a smaller ``batch_size`` or the bf16 speed mode
-(``dtype: "bfloat16"``) to fit S seeds in HBM.
+Memory: in the default vmap mode activations scale with S (the DCNN's
+layer-1 tensor is ~100 MB/seed at batch 128 bf16, ~2x that fp32), so
+large-batch fp32-parity sweeps may need a smaller ``batch_size`` or the
+bf16 speed mode (``dtype: "bfloat16"``) to fit S seeds in HBM.  Models
+with fused Pallas kernels automatically run the seed axis as a
+``lax.map`` inside the program instead (``seed_axis="scan"``): fused
+speed is kept and activation memory does NOT scale with S.
 """
 
 from __future__ import annotations
@@ -86,16 +89,24 @@ class VectorizedSeedSweep:
             self.tx = lead.tx
             self._hyper = None
 
-        # Composition guards: the fused Pallas kernels dispatch through
-        # shard_map (no vmap batching rule), and the sharded/pipelined
-        # runtimes re-layout state in ways the seed axis would break.
+        # Seed-axis mode: the fused Pallas kernels dispatch through
+        # shard_map, which has no vmap batching rule — for those models the
+        # seed axis runs as a lax.map INSIDE the jitted program instead
+        # (vectorized.py): same per-seed numerics and dispatch
+        # amortization, full fused-kernel speed per seed, and activation
+        # memory that does not scale with S.
+        self.seed_axis = "vmap"
         for attr in ("fused_layer1", "fused_layer2", "fused_pool"):
             if getattr(self.model, attr, False):
-                raise ValueError(
-                    f"vmap_seeds is incompatible with {attr} (shard_map'd "
-                    "Pallas kernels have no vmap batching rule); use the "
-                    "XLA model path"
+                self.seed_axis = "scan"
+                print(
+                    f"(vectorized sweep: {attr} active -> seed axis runs "
+                    "as lax.map inside the program; fused Pallas kernels "
+                    "keep their speed)"
                 )
+                break
+        # the sharded/pipelined runtimes re-layout state in ways the seed
+        # axis would break.
         if bool(self.args.get("fsdp")) or int(self.args.get("pp_stages") or 1) > 1:
             raise ValueError(
                 "vmap_seeds composes with data parallelism only "
@@ -109,23 +120,59 @@ class VectorizedSeedSweep:
                 "(HBM-resident frames) is a serial-trainer feature"
             )
 
+        self._build_steps()
+        self.vstate = None
+        self.step_total = 0
+
+    def _build_steps(self) -> None:
         aug = dict(
             aug_contrast=bool(self.args.aug_contrast),
             aug_noise=bool(self.args.aug_noise),
         )
         self.train_step = make_vectorized_train_step(
-            self.model, self.transform, self.tx, **aug
+            self.model, self.transform, self.tx,
+            seed_axis=self.seed_axis, **aug,
         )
         self.multi_train_step = (
             make_vectorized_multi_train_step(
-                self.model, self.transform, self.tx, **aug
+                self.model, self.transform, self.tx,
+                seed_axis=self.seed_axis, **aug,
             )
             if self.steps_per_call > 1
             else None
         )
-        self.vstate = None
-        self.step_total = 0
         self._veval = None
+
+    def _guard_fused_zero_alpha(self) -> None:
+        """Same safety as Trainer._guard_fused_zero_alpha, on the [S] state:
+        the fused kernels cannot propagate dalpha through an exactly-zero
+        PReLU slope — rebuild on the unfused XLA path if any seed has one
+        (never happens on fresh inits; imports/resumes can)."""
+        if self.seed_axis != "scan" or self.vstate is None:
+            return
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(self.vstate.params)
+        zeros = [
+            keystr(path)
+            for path, leaf in leaves
+            if "alpha" in keystr(path).lower()
+            and np.any(np.asarray(leaf) == 0.0)
+        ]
+        if not zeros:
+            return
+        print(
+            "warning: PReLU slope(s) exactly 0.0 in the vectorized state "
+            f"({', '.join(zeros)}); using the unfused XLA path."
+        )
+        fused = [
+            a
+            for a in ("fused_layer1", "fused_layer2", "fused_pool")
+            if getattr(self.model, a, False)
+        ]
+        self.model = self.model.clone(**{a: False for a in fused})
+        self.seed_axis = "vmap"
+        self._build_steps()
 
     # ------------------------------------------------------------- lifecycle
 
@@ -141,13 +188,15 @@ class VectorizedSeedSweep:
             audio_to_float(jnp.asarray(example_batch["audio"][0][:2]))
         )
         self.vstate = create_vectorized_state(
-            self.model, self.tx, image, self.seeds, hyperparams=self._hyper
+            self.model, self.tx, image, self.seeds,
+            hyperparams=self._hyper, seed_axis=self.seed_axis,
         )
         self.vstate = self.vstate._replace(
             params=replicate(self.mesh, self.vstate.params),
             batch_stats=replicate(self.mesh, self.vstate.batch_stats),
             opt_state=replicate(self.mesh, self.vstate.opt_state),
         )
+        self._guard_fused_zero_alpha()
 
     def _push_states(self) -> None:
         """Slice the vectorized state into every shadow Trainer."""
@@ -208,6 +257,7 @@ class VectorizedSeedSweep:
             opt_state=replicate(self.mesh, vstate.opt_state),
         )
         self.step_total = int(np.asarray(self.vstate.step)[0])
+        self._guard_fused_zero_alpha()
         # epochs_run = completed-epoch count (serial Trainer contract):
         # training continues at that index
         start = epochs.pop()
@@ -313,7 +363,9 @@ class VectorizedSeedSweep:
         from ..parallel.mesh import shard_batch
 
         if self._veval is None:
-            self._veval = make_vectorized_eval_step(self.model, self.transform)
+            self._veval = make_vectorized_eval_step(
+                self.model, self.transform, seed_axis=self.seed_axis
+            )
         ok = cnt = None
         device_results = []  # per batch: (y, out_max, ok_mask, scores), [S, B]
         host_batches = []

@@ -31,10 +31,17 @@ Batch layout: train batches stack per-seed streams as ``[S, B, ...]``
 across seeds (``in_axes=(0, 0, None)``) because eval order is
 deterministic and identical for every seed.
 
-Composition limits: the fused Pallas kernels dispatch through
-``shard_map`` (ops/fused_conv1.py), which has no batching rule — the
-vectorized path requires the (default) XLA model path; the Trainer-level
-runner (``train/sweep.py``) enforces this.
+Seed-axis modes: ``seed_axis="vmap"`` (default) batches every HLO op with
+a leading ``[S]`` axis — best VPU/MXU utilization for small models, but
+activation memory scales with S and ``shard_map`` (the fused Pallas
+kernels' dispatch, ops/fused_conv1.py) has no vmap batching rule.
+``seed_axis="scan"`` runs the seed axis as a ``lax.map`` INSIDE the same
+jitted program: identical per-seed numerics, identical dispatch
+amortization (one host round trip still advances S seeds × G steps), the
+fused kernels run at full Pallas speed per seed, and activations do NOT
+scale with S (only params/optimizer state stay ``[S]``-stacked).  The
+sweep runner (``train/sweep.py``) picks "scan" automatically when the
+model uses fused kernels.
 """
 
 from __future__ import annotations
@@ -78,12 +85,35 @@ def make_hyper_optimizer(
     )
 
 
+def _check_seed_axis(seed_axis: str) -> None:
+    if seed_axis not in ("vmap", "scan"):
+        raise ValueError(
+            f"seed_axis must be 'vmap' or 'scan', got {seed_axis!r}"
+        )
+
+
+def _seed_mapped(body):
+    """``lax.map`` over the seed axis: vmap semantics, sequential execution.
+
+    For models whose forward dispatches shard_map'd Pallas kernels: shard
+    map has no batching rule, so ``vmap`` cannot add the seed axis — but a
+    ``lax.map`` body traces the kernel once and runs it S times inside the
+    SAME jitted program.
+    """
+
+    def mapped(vstate: TrainState, vbatch):
+        return jax.lax.map(lambda sb: body(sb[0], sb[1]), (vstate, vbatch))
+
+    return mapped
+
+
 def create_vectorized_state(
     model,
     tx: optax.GradientTransformation,
     example_image: jnp.ndarray,
     seeds: Sequence[int],
     hyperparams: Dict[str, Sequence[float]] = None,
+    seed_axis: str = "vmap",
 ) -> TrainState:
     """A ``TrainState`` whose every leaf carries a leading ``[S]`` seed axis.
 
@@ -130,7 +160,12 @@ def create_vectorized_state(
             rng=rng,
         )
 
-    return jax.jit(jax.vmap(init_one))(keys, hp)
+    _check_seed_axis(seed_axis)
+    if seed_axis == "vmap":
+        return jax.jit(jax.vmap(init_one))(keys, hp)
+    return jax.jit(
+        lambda k, h: jax.lax.map(lambda kh: init_one(kh[0], kh[1]), (k, h))
+    )(keys, hp)
 
 
 def state_for_seed(vstate: TrainState, i: int) -> TrainState:
@@ -149,12 +184,13 @@ def make_vectorized_train_step(
     tx: optax.GradientTransformation,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    seed_axis: str = "vmap",
 ):
     """One optimizer step for ALL seeds: state ``[S]``-stacked, batch
     ``[S, B, ...]`` (per-seed data streams)."""
-    body = jax.vmap(
-        _train_step_body(model, transform, tx, aug_contrast, aug_noise)
-    )
+    _check_seed_axis(seed_axis)
+    inner = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    body = jax.vmap(inner) if seed_axis == "vmap" else _seed_mapped(inner)
     return jax.jit(body, donate_argnums=(0,))
 
 
@@ -164,16 +200,18 @@ def make_vectorized_multi_train_step(
     tx: optax.GradientTransformation,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    seed_axis: str = "vmap",
 ):
     """G chained steps × S seeds per dispatch; batches ``[G, S, B, ...]``.
 
-    The scan axis is OUTSIDE the vmap: each tick advances every seed one
-    step, so per-seed histories interleave exactly as G serial dispatches
-    of :func:`make_vectorized_train_step` would.  Stats stack ``[G, S]``.
+    The scan axis is OUTSIDE the seed axis: each tick advances every seed
+    one step, so per-seed histories interleave exactly as G serial
+    dispatches of :func:`make_vectorized_train_step` would.  Stats stack
+    ``[G, S]``.
     """
-    body = jax.vmap(
-        _train_step_body(model, transform, tx, aug_contrast, aug_noise)
-    )
+    _check_seed_axis(seed_axis)
+    inner = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    body = jax.vmap(inner) if seed_axis == "vmap" else _seed_mapped(inner)
 
     def multi_step(vstate: TrainState, batches: Dict[str, jnp.ndarray]):
         return jax.lax.scan(body, vstate, batches)
@@ -181,14 +219,24 @@ def make_vectorized_multi_train_step(
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
-def make_vectorized_eval_step(model, transform):
+def make_vectorized_eval_step(model, transform, seed_axis: str = "vmap"):
     """Evaluate ONE shared batch under every seed's params in one dispatch.
 
     Eval data order is deterministic and seed-independent, so the batch is
-    broadcast (``in_axes=(0, 0, None)``) and every result field gains a
-    leading ``[S]`` axis.
+    broadcast (``in_axes=(0, 0, None)`` / closed over in scan mode) and
+    every result field gains a leading ``[S]`` axis.
     """
-    body = jax.vmap(_eval_step_body(model, transform), in_axes=(0, 0, None))
+    _check_seed_axis(seed_axis)
+    inner = _eval_step_body(model, transform)
+    if seed_axis == "vmap":
+        body = jax.vmap(inner, in_axes=(0, 0, None))
+    else:
+
+        def body(params, batch_stats, batch):
+            return jax.lax.map(
+                lambda pb: inner(pb[0], pb[1], batch), (params, batch_stats)
+            )
+
     return jax.jit(body)
 
 

@@ -394,7 +394,9 @@ class TestVmapHparams:
 
 
 class TestSweepGuards:
-    def test_fused_kernels_rejected(self, tmp_path):
+    def test_fused_kernels_pick_seed_scan(self, tmp_path):
+        """Fused Pallas models are no longer rejected: the sweep switches
+        the seed axis to lax.map mode (round-3 verdict weak #2)."""
         from audiodeepfake_detection_tpu.models import DCNN
         from audiodeepfake_detection_tpu.ops.wpt import packet_image
         from audiodeepfake_detection_tpu.train.sweep import VectorizedSeedSweep
@@ -411,8 +413,14 @@ class TestSweepGuards:
             return packet_image(audio, "haar", level=8, log_scale=True)
 
         sh = Trainer(model, transform, args, snapshot_path=str(tmp_path / "s"))
-        with pytest.raises(ValueError, match="fused_layer1"):
-            VectorizedSeedSweep([sh], [None])
+        sweep = VectorizedSeedSweep([sh], [None])
+        assert sweep.seed_axis == "scan"
+
+        plain = model.clone(fused_layer1=False)
+        sh2 = Trainer(
+            plain, transform, args, snapshot_path=str(tmp_path / "s2")
+        )
+        assert VectorizedSeedSweep([sh2], [None]).seed_axis == "vmap"
 
     def test_loader_count_mismatch(self, tmp_path):
         from audiodeepfake_detection_tpu.models import DCNN
