@@ -145,6 +145,12 @@ class ASTModel(nn.Module):
     precision: Any = None  # None -> fp32-exact (HIGHEST), like DCNN/LCNN
     # fuse softmax(qk^T)v per block into one Pallas kernel — see _Block
     fused_attention: bool = False
+    # rematerialize each encoder block on the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for not saving the block
+    # activations — a memory lever for large batch / long token counts.
+    # Measured A/B on v5e: see docs/benchmarks.md (the AST is
+    # compute-bound at batch 32, so remat is off by default).
+    remat_blocks: bool = False
 
     def setup(self) -> None:
         # setup-style (not @nn.compact) so the three phases — embed /
@@ -187,8 +193,13 @@ class ASTModel(nn.Module):
         )
         self.pos_drop = nn.Dropout(self.drop_rate)
         # stochastic depth scales linearly over depth, the timm rule
+        block_cls = (
+            nn.remat(_Block, static_argnums=(2,))
+            if self.remat_blocks
+            else _Block
+        )
         self.blocks = [
-            _Block(
+            block_cls(
                 d,
                 cfg["num_heads"],
                 drop_rate=self.drop_rate,
@@ -239,7 +250,8 @@ class ASTModel(nn.Module):
     def encode(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """The DeiT encoder: all transformer blocks in sequence."""
         for block in self.blocks:
-            h = block(h, train=train)
+            # positional `train`: nn.remat's static_argnums needs it
+            h = block(h, train)
         return h
 
     def classify(self, h: jnp.ndarray) -> jnp.ndarray:

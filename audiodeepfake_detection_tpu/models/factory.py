@@ -101,7 +101,11 @@ def _build_ast(args: DotDict, nclasses: int):
     instead — identical for the reference's 256-scale configs, and correct
     for every other geometry (the reference would crash on those).
     ``ast_model_size`` / ``ast_drop_*`` keys expose the constructor knobs
-    the reference hardcodes.
+    the reference hardcodes; ``ast_remat`` rematerializes encoder blocks on
+    the backward pass (activation-memory lever for large batch / long
+    token counts) and ``ast_fused_attention`` switches each block's
+    softmax(qk^T)v to the Pallas kernel (pays off only for sequences long
+    enough that attention scores spill VMEM — see docs/benchmarks.md).
     """
     from .ast import ASTModel
 
@@ -122,6 +126,8 @@ def _build_ast(args: DotDict, nclasses: int):
         drop_rate=float(args.ast_drop_rate or 0.0),
         attn_drop_rate=float(args.ast_attn_drop_rate or 0.0),
         drop_path_rate=float(args.ast_drop_path_rate or 0.0),
+        fused_attention=bool(args.ast_fused_attention),
+        remat_blocks=bool(args.ast_remat),
         dtype=dtype,
         precision=precision,
     )

@@ -1,6 +1,7 @@
 """AST, grid-model parser and model-factory tests."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -208,6 +209,34 @@ class TestAST:
         assert out.shape == (2, 2)
         assert np.isfinite(out).all()
 
+    def test_remat_blocks_matches_plain(self):
+        """remat_blocks=True recomputes block activations on backward but
+        must leave loss and gradients unchanged (up to fp32 recompute
+        roundoff) — the parameter tree is identical, so the same params
+        apply to both."""
+        kw = dict(model_size="tiny224", input_fdim=64, input_tdim=32)
+        model0 = ASTModel(**kw)
+        model1 = ASTModel(remat_blocks=True, **kw)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 1, 64, 32).astype(np.float32)
+        )
+        params = model0.init(jax.random.key(0), x)["params"]
+
+        def loss(model, p):
+            out = model.apply(
+                {"params": p}, x, train=True,
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return (out ** 2).mean()
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(model0, p))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(model1, p))(params)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
 
 class TestGridModelParser:
     def test_bracketed_alternatives_expand(self):
@@ -397,6 +426,18 @@ class TestASTFactory:
     def test_astmodel_name_alias(self):
         model = get_model(self._args(module="ASTModel"), "modules")
         assert model.get_name() == "AST"
+
+    def test_remat_and_fused_attention_knobs(self):
+        """``ast_remat`` / ``ast_fused_attention`` config keys reach the
+        constructor (off by default)."""
+        model = get_model(self._args(), "modules")
+        assert model.remat_blocks is False
+        assert model.fused_attention is False
+        model = get_model(
+            self._args(ast_remat=True, ast_fused_attention=True), "modules"
+        )
+        assert model.remat_blocks is True
+        assert model.fused_attention is True
 
     def test_bad_geometry_rejected(self):
         # tdim claimed 101 but probed input is 48 wide -> patch reshape fails

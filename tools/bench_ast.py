@@ -11,7 +11,6 @@ is meaningful, so that is what this prints.
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -19,6 +18,58 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ast_train_setup(
+    batch: int,
+    size: str = "base384",
+    fused_attention: bool = False,
+    remat: bool = False,
+):
+    """Build (state, step) for the AST train step — shared with
+    tools/profile_step.py's --ast trace mode."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiodeepfake_detection_tpu.models.ast import ASTModel
+    from audiodeepfake_detection_tpu.train.steps import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    model = ASTModel(
+        model_size=size,
+        dtype=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+        fused_attention=fused_attention,
+        remat_blocks=remat,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 1, 256, 101).astype(np.float32))
+    tx = make_optimizer(1e-5, 5e-7)
+    state = create_train_state(model, tx, x, seed=0)
+    labels = jnp.asarray(rng.randint(0, 2, batch))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, x, train=True,
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(params=params, opt_state=opt_state), loss
+
+    return state, step
 
 
 def main() -> None:
@@ -30,6 +81,10 @@ def main() -> None:
     ap.add_argument(
         "--fused-attention", action="store_true",
         help="Pallas fused softmax(qk^T)v (ops/flash_attention.py)",
+    )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize encoder blocks on backward (memory lever)",
     )
     args = ap.parse_args()
 
@@ -50,6 +105,7 @@ def main() -> None:
         precision=jax.lax.Precision.DEFAULT,  # bf16 speed mode (parity
         # default is None -> HIGHEST, like DCNN/LCNN)
         fused_attention=args.fused_attention,
+        remat_blocks=args.remat,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, 1, 256, 101).astype(np.float32))
@@ -57,38 +113,14 @@ def main() -> None:
     # here too would double the base384 init through the slow relay
 
     if args.train:
-        import optax
-
-        from audiodeepfake_detection_tpu.train.steps import (
-            create_train_state,
-            make_optimizer,
-        )
-
-        tx = make_optimizer(1e-5, 5e-7)
-        state = create_train_state(model, tx, x, seed=0)
-        labels = jnp.asarray(rng.randint(0, 2, args.batch))
-
-        # Donate the state like the production step (train/steps.py
+        # Donated state like the production step (train/steps.py
         # make_train_step donate_argnums=(0,)): without donation XLA
         # cannot update the 86M-param fp32 state in place and the step
         # pays fresh allocations + copies for params and both Adam
         # moments every call.
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state):
-            def loss_fn(p):
-                out = model.apply(
-                    {"params": p}, x, train=True,
-                    rngs={"dropout": jax.random.key(1)},
-                )
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    out, labels
-                ).mean()
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return state._replace(params=params, opt_state=opt_state), loss
-
+        state, step = ast_train_setup(
+            args.batch, args.size, args.fused_attention, args.remat
+        )
         state, loss = step(state)
         float(loss)
         t0 = time.time()
@@ -97,6 +129,29 @@ def main() -> None:
         float(loss)
         dt = time.time() - t0
         what = "train step"
+        # XLA cost model -> MFU / achieved HBM bandwidth (v5e peaks:
+        # 197 TFLOP/s bf16, 819 GB/s); the per-op trace for the same step
+        # comes from tools/profile_step.py
+        try:
+            ca = step.lower(state).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] or {}
+            step_s = dt / args.steps
+            flops = float(ca.get("flops", 0.0))
+            xbytes = float(ca.get("bytes accessed", 0.0))
+            if flops:
+                print(
+                    f"  cost model: {flops / 1e12:.2f} TFLOP/step, "
+                    f"MFU {flops / step_s / 197e12:.3f}"
+                )
+            if xbytes:
+                print(
+                    f"  cost model: {xbytes / 1e9:.2f} GB/step, "
+                    f"{xbytes / step_s / 1e9:.0f} GB/s "
+                    f"({xbytes / step_s / 819e9:.2f} of HBM peak)"
+                )
+        except Exception as exc:
+            print(f"  (cost analysis unavailable: {exc})")
     else:
         variables = model.init(jax.random.key(0), x)
         fwd = jax.jit(lambda v, x: model.apply(v, x))

@@ -1,8 +1,9 @@
 """Vectorized multi-seed sweep benchmark (train/vectorized.py).
 
-Measures the DCNN headline step (packets-sym5 level 8, XLA model path —
-the fused Pallas kernels dispatch through shard_map and have no vmap rule)
-in three regimes on the local chip:
+Measures the DCNN headline step (packets-sym5 level 8; ``--fused`` runs
+the fused Pallas speed path with the seed axis as a lax.map inside the
+program — ``seed_axis="scan"``, what the sweep runner picks for fused
+models) in three regimes on the local chip:
 
 1. serial, device-bound: one seed, STEPS async-chained steps (the sweep
    baseline — S seeds run back-to-back at this per-seed rate);
@@ -39,6 +40,11 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--sync-steps", type=int, default=10)
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="fused Pallas layer-1 kernel + seed_axis='scan' (the sweep's "
+        "automatic mode for fused models)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,8 +69,10 @@ def main() -> None:
     )
 
     model = DCNN(
-        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16
+        time_dim=12, precision=jax.lax.Precision.DEFAULT, dtype=jnp.bfloat16,
+        fused_layer1=bool(args.fused),
     )
+    seed_axis = "scan" if args.fused else "vmap"
 
     def transform(audio):
         return packet_image(
@@ -101,13 +109,17 @@ def main() -> None:
         return time.time() - t0
 
     serial_step = make_train_step(model, transform, tx)
-    vec_step = make_vectorized_train_step(model, transform, tx)
+    vec_step = make_vectorized_train_step(
+        model, transform, tx, seed_axis=seed_axis
+    )
 
     st = create_train_state(model, tx, img, seed=0)
     dt_serial = timed(serial_step, st, jax.device_put(batch), args.steps, 0)
     fps_serial = B * args.steps / dt_serial
 
-    vst = create_vectorized_state(model, tx, img, list(range(S)))
+    vst = create_vectorized_state(
+        model, tx, img, list(range(S)), seed_axis=seed_axis
+    )
     dt_vec = timed(vec_step, vst, jax.device_put(vbatch), args.steps, 0)
     fps_vec = S * B * args.steps / dt_vec
 
@@ -117,19 +129,22 @@ def main() -> None:
         serial_step, st, jax.device_put(batch), args.sync_steps, 1
     )
     fps_serial_rt = B * args.sync_steps / dt_serial_rt
-    vst = create_vectorized_state(model, tx, img, list(range(S)))
+    vst = create_vectorized_state(
+        model, tx, img, list(range(S)), seed_axis=seed_axis
+    )
     dt_vec_rt = timed(
         vec_step, vst, jax.device_put(vbatch), args.sync_steps, 1
     )
     fps_vec_rt = S * B * args.sync_steps / dt_vec_rt
 
+    mode = f"fused+{seed_axis}" if args.fused else seed_axis
     print(
-        f"device-bound : serial {fps_serial:9.1f} frames/s | "
+        f"[{mode}] device-bound : serial {fps_serial:9.1f} frames/s | "
         f"vectorized(S={S}) {fps_vec:9.1f} frames/s | "
         f"x{fps_vec / fps_serial:.2f}"
     )
     print(
-        f"dispatch-bound: serial {fps_serial_rt:9.1f} frames/s | "
+        f"[{mode}] dispatch-bound: serial {fps_serial_rt:9.1f} frames/s | "
         f"vectorized(S={S}) {fps_vec_rt:9.1f} frames/s | "
         f"x{fps_vec_rt / fps_serial_rt:.2f}"
     )

@@ -36,6 +36,25 @@ def run_and_trace(out_dir: str, steps: int, fused: bool = False, fused2: bool = 
     jax.profiler.stop_trace()
 
 
+def run_and_trace_ast(
+    out_dir: str, steps: int, batch: int, remat: bool = False
+) -> None:
+    """Trace the AST base384 train step (round-3 verdict weak #3: the AST
+    had no published per-op trace)."""
+    import jax
+
+    from bench_ast import ast_train_setup
+
+    state, step = ast_train_setup(batch, remat=remat)
+    state, loss = step(state)
+    float(loss)
+    jax.profiler.start_trace(out_dir)
+    for _ in range(steps):
+        state, loss = step(state)
+    float(loss)
+    jax.profiler.stop_trace()
+
+
 def summarize(out_dir: str, top: int = 25) -> None:
     traces = sorted(
         glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"), recursive=True)
@@ -87,7 +106,19 @@ if __name__ == "__main__":
     parser.add_argument("--summarize-only", action="store_true")
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--fused2", action="store_true")
+    parser.add_argument(
+        "--ast", action="store_true", help="trace the AST base384 train step"
+    )
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--remat", action="store_true")
     args = parser.parse_args()
     if not args.summarize_only:
-        run_and_trace(args.out, args.steps, fused=args.fused, fused2=args.fused2)
+        if args.ast:
+            run_and_trace_ast(
+                args.out, args.steps, args.batch, remat=args.remat
+            )
+        else:
+            run_and_trace(
+                args.out, args.steps, fused=args.fused, fused2=args.fused2
+            )
     summarize(args.out)
