@@ -99,6 +99,15 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     # ships only [G, B] int32 indices (train/device_data.py).  The lever
     # when per-dispatch H2D latency bounds e2e training throughput.
     parser.add_argument("--device-data", action="store_true")
+    # store both Adam moments in this dtype (train/steps.py
+    # scale_by_adam_lowp): "bfloat16" halves optimizer-state HBM and its
+    # per-step read+write traffic; default fp32 keeps exact torch-Adam
+    # trajectory parity.
+    parser.add_argument(
+        "--adam-moments-dtype",
+        choices=["float32", "bfloat16"],
+        default=d.adam_moments_dtype,
+    )
     # ZeRO-3-style param/optimizer sharding over the data axis
     # (parallel/fsdp.py); only pays off for large models (AST).
     parser.add_argument("--fsdp", action="store_true")

@@ -48,13 +48,99 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def make_optimizer(learning_rate: float, weight_decay: float) -> optax.GradientTransformation:
-    """torch.optim.Adam(lr, weight_decay) equivalent (L2-in-gradient)."""
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float,
+    moment_dtype: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-in-gradient).
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16`` / ``"bfloat16"``) stores both
+    Adam moments in that dtype — halves optimizer-state HBM (and its
+    read+write traffic every step, the dominant per-step cost for
+    bandwidth-bound models like the 86M-param AST) at the price of ~8-bit
+    moment mantissas.  ``None`` (default) keeps fp32 moments: the exact
+    torch-Adam trajectory-parity contract (tests/test_train_parity.py).
+    """
+    if moment_dtype is not None and jnp.dtype(moment_dtype) == jnp.float32:
+        moment_dtype = None  # explicit "float32" == the exact default path
+    if moment_dtype is None:
+        adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        adam = scale_by_adam_lowp(
+            b1=0.9, b2=0.999, eps=1e-8, moment_dtype=jnp.dtype(moment_dtype)
+        )
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        adam,
         optax.scale(-learning_rate),
     )
+
+
+def scale_by_adam_lowp(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    moment_dtype: Any = jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments *stored* low-precision.
+
+    optax's own ``mu_dtype`` downcasts only the first moment; the second
+    moment (the bigger numerical risk, but also half the remaining state)
+    stays fp32.  Here both are stored in ``moment_dtype`` and every step
+    computes in fp32 *from the rounded stored values*:
+
+        m' = round(b1*m + (1-b1)*g);  update = mhat'/(sqrt(vhat') + eps)
+
+    Computing the update from the already-rounded ``m'``/``v'`` (instead of
+    the pre-rounding fp32 accumulators) makes the trajectory a pure function
+    of the stored state — a checkpoint/restore cycle is bit-invisible, which
+    keeps ``--resume`` exact (train/trainer.py restore path).
+
+    bf16 carries fp32's exponent range with an 8-bit mantissa: moments see
+    ~0.4% relative rounding noise, ~0.2% after the sqrt on ``nu`` — well
+    under Adam's own gradient noise (A/B'd on the AST in docs/benchmarks.md).
+    """
+    moment_dtype = jnp.dtype(moment_dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), dtype=moment_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - jnp.power(jnp.float32(b1), count.astype(jnp.float32))
+        c2 = 1.0 - jnp.power(jnp.float32(b2), count.astype(jnp.float32))
+
+        def next_mu(g, m):
+            g32 = g.astype(jnp.float32)
+            return (b1 * m.astype(jnp.float32) + (1.0 - b1) * g32).astype(
+                moment_dtype
+            )
+
+        def next_nu(g, v):
+            g32 = g.astype(jnp.float32)
+            return (
+                b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            ).astype(moment_dtype)
+
+        mu = jax.tree.map(next_mu, updates, state.mu)
+        nu = jax.tree.map(next_nu, updates, state.nu)
+
+        def direction(m, v):
+            mhat = m.astype(jnp.float32) / c1
+            vhat = v.astype(jnp.float32) / c2
+            return mhat / (jnp.sqrt(vhat) + eps)
+
+        new_updates = jax.tree.map(direction, mu, nu)
+        return new_updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def create_train_state(

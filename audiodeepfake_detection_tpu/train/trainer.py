@@ -101,7 +101,11 @@ class Trainer:
         self.mesh = mesh
         self.label_names = label_names or {}
 
-        self.tx = make_optimizer(args.learning_rate, args.weight_decay)
+        self.tx = make_optimizer(
+            args.learning_rate,
+            args.weight_decay,
+            moment_dtype=args.get("adam_moments_dtype") or None,
+        )
         self.steps_per_call = int(args.get("steps_per_call") or 1)
         self._fsdp = bool(args.get("fsdp"))
         self._fsdp_min_bytes = int(args.get("fsdp_min_bytes") or 2**14)

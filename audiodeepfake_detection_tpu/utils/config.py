@@ -109,6 +109,7 @@ def default_config() -> DotDict:
         save_path=None,
         data_path=None,
         dtype="float32",
+        adam_moments_dtype=None,
         fused_layer1=False,
         fused_pool=False,
         fused_layer2=False,

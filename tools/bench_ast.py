@@ -25,6 +25,7 @@ def ast_train_setup(
     size: str = "base384",
     fused_attention: bool = False,
     remat: bool = False,
+    moments_dtype=None,
 ):
     """Build (state, step) for the AST train step — shared with
     tools/profile_step.py's --ast trace mode."""
@@ -49,7 +50,7 @@ def ast_train_setup(
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, 1, 256, 101).astype(np.float32))
-    tx = make_optimizer(1e-5, 5e-7)
+    tx = make_optimizer(1e-5, 5e-7, moment_dtype=moments_dtype)
     state = create_train_state(model, tx, x, seed=0)
     labels = jnp.asarray(rng.randint(0, 2, batch))
 
@@ -86,6 +87,11 @@ def main() -> None:
         "--remat", action="store_true",
         help="rematerialize encoder blocks on backward (memory lever)",
     )
+    ap.add_argument(
+        "--bf16-moments", action="store_true",
+        help="store Adam moments in bfloat16 (train/steps.py "
+        "scale_by_adam_lowp) — halves optimizer-state traffic",
+    )
     args = ap.parse_args()
 
     import jax
@@ -119,7 +125,8 @@ def main() -> None:
         # pays fresh allocations + copies for params and both Adam
         # moments every call.
         state, step = ast_train_setup(
-            args.batch, args.size, args.fused_attention, args.remat
+            args.batch, args.size, args.fused_attention, args.remat,
+            moments_dtype="bfloat16" if args.bf16_moments else None,
         )
         state, loss = step(state)
         float(loss)
