@@ -100,6 +100,7 @@ def _fsdp_step_body(
     min_bytes: int = 2**14,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ):
     """The standard train-step body with FSDP-pinned output state.
 
@@ -111,7 +112,9 @@ def _fsdp_step_body(
     """
     from ..train.steps import _train_step_body
 
-    body = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    body = _train_step_body(
+        model, transform, tx, aug_contrast, aug_noise, grad_accum
+    )
 
     def step(state, batch) -> Tuple[Any, Any]:
         new_state, stats = body(state, batch)
@@ -133,11 +136,13 @@ def make_fsdp_train_step(
     min_bytes: int = 2**14,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ):
     """Jitted FSDP train step (see :func:`_fsdp_step_body`)."""
     return jax.jit(
         _fsdp_step_body(
-            model, transform, tx, mesh, axis, min_bytes, aug_contrast, aug_noise
+            model, transform, tx, mesh, axis, min_bytes, aug_contrast,
+            aug_noise, grad_accum,
         ),
         donate_argnums=(0,),
     )
@@ -152,13 +157,15 @@ def make_fsdp_multi_train_step(
     min_bytes: int = 2**14,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ):
     """G chained FSDP steps per dispatch — the sharded twin of
     ``train.steps.make_multi_train_step`` (the layout constraint inside the
     scan body keeps every intermediate state sharded, so peak HBM is the
     sharded footprint regardless of G)."""
     body = _fsdp_step_body(
-        model, transform, tx, mesh, axis, min_bytes, aug_contrast, aug_noise
+        model, transform, tx, mesh, axis, min_bytes, aug_contrast,
+        aug_noise, grad_accum,
     )
 
     def multi_step(state, batches):

@@ -99,6 +99,11 @@ def add_default_parser_args(parser: argparse.ArgumentParser) -> argparse.Argumen
     # ships only [G, B] int32 indices (train/device_data.py).  The lever
     # when per-dispatch H2D latency bounds e2e training throughput.
     parser.add_argument("--device-data", action="store_true")
+    # gradient accumulation: scan the train step over N microbatches of
+    # batch_size/N — full-batch mean gradient, 1/N activation memory
+    # (train/steps.py _train_step_body; BatchNorm models normalize with
+    # per-microbatch moments, like torch grad accumulation).
+    parser.add_argument("--grad-accum", type=int, default=d.grad_accum)
     # store both Adam moments in this dtype (train/steps.py
     # scale_by_adam_lowp): "bfloat16" halves optimizer-state HBM and its
     # per-step read+write traffic; default fp32 keeps exact torch-Adam

@@ -171,10 +171,13 @@ def make_train_step(
     tx: optax.GradientTransformation,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the fused train step (donated state; jit once per config)."""
     return jax.jit(
-        _train_step_body(model, transform, tx, aug_contrast, aug_noise),
+        _train_step_body(
+            model, transform, tx, aug_contrast, aug_noise, grad_accum
+        ),
         donate_argnums=(0,),
     )
 
@@ -185,7 +188,23 @@ def _train_step_body(
     tx: optax.GradientTransformation,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ):
+    def loss_fn(params, batch_stats, image, labels, dropout_rng):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            image,
+            train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            out, labels
+        ).mean()
+        return loss, (out, updates["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, aug_rng, dropout_rng = jax.random.split(state.rng, 3)
         audio = audio_to_float(batch["audio"])
@@ -194,25 +213,62 @@ def _train_step_body(
             audio = augment(aug_rng, audio, aug_contrast, aug_noise)
         image = jax.lax.stop_gradient(transform(audio))
 
-        def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                image,
-                train=True,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
+        if grad_accum <= 1:
+            (loss, (out, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, image, labels, dropout_rng
             )
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                out, labels
-            ).mean()
-            return loss, (out, updates["batch_stats"])
+            acc = jnp.mean(
+                (jnp.argmax(out, -1) == labels).astype(jnp.float32)
+            )
+        else:
+            # Gradient accumulation: scan over A microbatches so only one
+            # microbatch's activations are ever live — activation memory
+            # (and XLA's large-batch VMEM pressure, see the AST b128
+            # anomaly in docs/benchmarks.md) scales with B/A while the
+            # optimizer sees the full-batch mean gradient, bitwise the
+            # mean of the microbatch gradients.  BatchNorm models
+            # normalize with per-MICRObatch moments and update running
+            # stats A times per step (same semantics as torch gradient
+            # accumulation); LayerNorm models (AST) match the unaccumu-
+            # lated step to fp32 roundoff (tests/test_grad_accum.py).
+            b = image.shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {grad_accum}"
+                )
+            mb = b // grad_accum
+            image_r = image.reshape((grad_accum, mb) + image.shape[1:])
+            labels_r = labels.reshape((grad_accum, mb))
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
 
-        (loss, (out, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def micro(carry, xs):
+                grads_sum, stats, loss_sum, correct = carry
+                img_mb, lab_mb, i = xs
+                (l, (out, stats)), g = grad_fn(
+                    state.params,
+                    stats,
+                    img_mb,
+                    lab_mb,
+                    jax.random.fold_in(dropout_rng, i),
+                )
+                grads_sum = jax.tree.map(jnp.add, grads_sum, g)
+                correct = correct + jnp.sum(
+                    (jnp.argmax(out, -1) == lab_mb).astype(jnp.float32)
+                )
+                return (grads_sum, stats, loss_sum + l, correct), None
+
+            (grads_sum, new_stats, loss_sum, correct), _ = jax.lax.scan(
+                micro,
+                (zero_grads, state.batch_stats, jnp.float32(0.0), jnp.float32(0.0)),
+                (image_r, labels_r, jnp.arange(grad_accum)),
+            )
+            inv = jnp.float32(1.0 / grad_accum)
+            grads = jax.tree.map(lambda g: g * inv, grads_sum)
+            loss = loss_sum * inv
+            acc = correct / jnp.float32(b)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
         new_state = TrainState(
             params=params,
             batch_stats=new_stats,
@@ -231,6 +287,7 @@ def make_multi_train_step(
     tx: optax.GradientTransformation,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """G sequential optimizer steps in ONE dispatch (``lax.scan``).
 
@@ -243,7 +300,9 @@ def make_multi_train_step(
     per-batch torch loop, train_classifier.py:910-912 — there is no torch
     equivalent of executing the loop on device.
     """
-    body = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    body = _train_step_body(
+        model, transform, tx, aug_contrast, aug_noise, grad_accum
+    )
 
     def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray]):
         return jax.lax.scan(body, state, batches)
@@ -258,6 +317,7 @@ def make_resident_multi_train_step(
     mesh=None,
     aug_contrast: bool = False,
     aug_noise: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """G optimizer steps per dispatch over DEVICE-RESIDENT training data.
 
@@ -275,7 +335,9 @@ def make_resident_multi_train_step(
     replicated ``audio_all``, XLA partitions the gather so each device
     materializes only its batch shard.
     """
-    body = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    body = _train_step_body(
+        model, transform, tx, aug_contrast, aug_noise, grad_accum
+    )
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
 

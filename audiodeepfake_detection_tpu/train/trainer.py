@@ -172,6 +172,19 @@ class Trainer:
             aug_contrast=bool(args.aug_contrast),
             aug_noise=bool(args.aug_noise),
         )
+        ga = int(args.get("grad_accum") or 1)
+        if ga > 1:
+            if self._pp > 1:
+                raise ValueError(
+                    "grad_accum>1 and pp_stages>1 are mutually exclusive "
+                    "(the pipeline already microbatches inside the step)"
+                )
+            if args.batch_size % ga:
+                raise ValueError(
+                    f"batch_size {args.batch_size} not divisible by "
+                    f"grad_accum {ga}"
+                )
+            aug["grad_accum"] = ga
         if self._fsdp:
             # ZeRO-3-style param/optimizer sharding (parallel/fsdp.py):
             # same math, state pinned to the sharded layout step-to-step.
@@ -421,6 +434,7 @@ class Trainer:
                 self.mesh,
                 aug_contrast=bool(self.args.aug_contrast),
                 aug_noise=bool(self.args.aug_noise),
+                grad_accum=int(self.args.get("grad_accum") or 1),
             )
         idx = order[: n_full * bsz].astype(np.int32).reshape(n_full, bsz)
         from .profiling import StepTimer

@@ -110,6 +110,7 @@ def default_config() -> DotDict:
         data_path=None,
         dtype="float32",
         adam_moments_dtype=None,
+        grad_accum=1,
         fused_layer1=False,
         fused_pool=False,
         fused_layer2=False,
