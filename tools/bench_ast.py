@@ -26,17 +26,24 @@ def ast_train_setup(
     fused_attention: bool = False,
     remat: bool = False,
     moments_dtype=None,
+    grad_accum: int = 1,
 ):
     """Build (state, step) for the AST train step — shared with
-    tools/profile_step.py's --ast trace mode."""
+    tools/profile_step.py's --ast trace mode.
+
+    Routes through the production step body (train/steps.py
+    _train_step_body: donated state, fused Adam update, optional
+    microbatch scan / low-precision moments) so what is benchmarked here
+    is exactly what the Trainer dispatches.
+    """
     import functools
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from audiodeepfake_detection_tpu.models.ast import ASTModel
     from audiodeepfake_detection_tpu.train.steps import (
+        _train_step_body,
         create_train_state,
         make_optimizer,
     )
@@ -52,23 +59,15 @@ def ast_train_setup(
     x = jnp.asarray(rng.randn(batch, 1, 256, 101).astype(np.float32))
     tx = make_optimizer(1e-5, 5e-7, moment_dtype=moments_dtype)
     state = create_train_state(model, tx, x, seed=0)
-    labels = jnp.asarray(rng.randint(0, 2, batch))
+    # label 0 stays 0, nonzero collapses to 1 inside the body
+    labels = jnp.asarray(rng.randint(0, 2, batch).astype(np.int32))
+    batch_dict = {"audio": x, "label": labels}
+    body = _train_step_body(model, lambda a: a, tx, grad_accum=grad_accum)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state):
-        def loss_fn(p):
-            out = model.apply(
-                {"params": p}, x, train=True,
-                rngs={"dropout": jax.random.key(1)},
-            )
-            return optax.softmax_cross_entropy_with_integer_labels(
-                out, labels
-            ).mean()
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state._replace(params=params, opt_state=opt_state), loss
+        new_state, stats = body(state, batch_dict)
+        return new_state, stats["loss"]
 
     return state, step
 
@@ -91,6 +90,11 @@ def main() -> None:
         "--bf16-moments", action="store_true",
         help="store Adam moments in bfloat16 (train/steps.py "
         "scale_by_adam_lowp) — halves optimizer-state traffic",
+    )
+    ap.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="scan the step over N microbatches of batch/N "
+        "(activation-memory / VMEM-pressure lever)",
     )
     args = ap.parse_args()
 
@@ -127,6 +131,7 @@ def main() -> None:
         state, step = ast_train_setup(
             args.batch, args.size, args.fused_attention, args.remat,
             moments_dtype="bfloat16" if args.bf16_moments else None,
+            grad_accum=args.grad_accum,
         )
         state, loss = step(state)
         float(loss)
