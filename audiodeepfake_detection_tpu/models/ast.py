@@ -151,6 +151,11 @@ class ASTModel(nn.Module):
     # Measured A/B on v5e: see docs/benchmarks.md (the AST is
     # compute-bound at batch 32, so remat is off by default).
     remat_blocks: bool = False
+    # named jax.checkpoint_policies policy for selective remat (implies
+    # remat_blocks), e.g. "dots_saveable": matmul outputs are saved,
+    # only elementwise/VPU work (LayerNorm, GELU, softmax) recomputes —
+    # cheaper backward than full remat. Measured A/B: docs/benchmarks.md.
+    remat_policy: Any = None
 
     def setup(self) -> None:
         # setup-style (not @nn.compact) so the three phases — embed /
@@ -193,11 +198,17 @@ class ASTModel(nn.Module):
         )
         self.pos_drop = nn.Dropout(self.drop_rate)
         # stochastic depth scales linearly over depth, the timm rule
-        block_cls = (
-            nn.remat(_Block, static_argnums=(2,))
-            if self.remat_blocks
-            else _Block
-        )
+        if self.remat_policy is not None:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if isinstance(self.remat_policy, str)
+                else self.remat_policy
+            )
+            block_cls = nn.remat(_Block, static_argnums=(2,), policy=policy)
+        elif self.remat_blocks:
+            block_cls = nn.remat(_Block, static_argnums=(2,))
+        else:
+            block_cls = _Block
         self.blocks = [
             block_cls(
                 d,

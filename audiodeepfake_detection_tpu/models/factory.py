@@ -103,7 +103,10 @@ def _build_ast(args: DotDict, nclasses: int):
     ``ast_model_size`` / ``ast_drop_*`` keys expose the constructor knobs
     the reference hardcodes; ``ast_remat`` rematerializes encoder blocks on
     the backward pass (activation-memory lever for large batch / long
-    token counts) and ``ast_fused_attention`` switches each block's
+    token counts), ``ast_remat_policy`` selects a named
+    ``jax.checkpoint_policies`` selective-remat policy (e.g.
+    ``"dots_saveable"`` — matmul outputs saved, elementwise recomputed;
+    implies remat) and ``ast_fused_attention`` switches each block's
     softmax(qk^T)v to the Pallas kernel (pays off only for sequences long
     enough that attention scores spill VMEM — see docs/benchmarks.md).
     """
@@ -128,6 +131,7 @@ def _build_ast(args: DotDict, nclasses: int):
         drop_path_rate=float(args.ast_drop_path_rate or 0.0),
         fused_attention=bool(args.ast_fused_attention),
         remat_blocks=bool(args.ast_remat),
+        remat_policy=args.ast_remat_policy or None,
         dtype=dtype,
         precision=precision,
     )

@@ -128,6 +128,7 @@ class VectorizedSeedSweep:
         aug = dict(
             aug_contrast=bool(self.args.aug_contrast),
             aug_noise=bool(self.args.aug_noise),
+            grad_accum=int(self.args.get("grad_accum") or 1),
         )
         self.train_step = make_vectorized_train_step(
             self.model, self.transform, self.tx,

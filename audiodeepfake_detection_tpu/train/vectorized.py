@@ -185,11 +185,14 @@ def make_vectorized_train_step(
     aug_contrast: bool = False,
     aug_noise: bool = False,
     seed_axis: str = "vmap",
+    grad_accum: int = 1,
 ):
     """One optimizer step for ALL seeds: state ``[S]``-stacked, batch
     ``[S, B, ...]`` (per-seed data streams)."""
     _check_seed_axis(seed_axis)
-    inner = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    inner = _train_step_body(
+        model, transform, tx, aug_contrast, aug_noise, grad_accum
+    )
     body = jax.vmap(inner) if seed_axis == "vmap" else _seed_mapped(inner)
     return jax.jit(body, donate_argnums=(0,))
 
@@ -201,6 +204,7 @@ def make_vectorized_multi_train_step(
     aug_contrast: bool = False,
     aug_noise: bool = False,
     seed_axis: str = "vmap",
+    grad_accum: int = 1,
 ):
     """G chained steps × S seeds per dispatch; batches ``[G, S, B, ...]``.
 
@@ -210,7 +214,9 @@ def make_vectorized_multi_train_step(
     ``[G, S]``.
     """
     _check_seed_axis(seed_axis)
-    inner = _train_step_body(model, transform, tx, aug_contrast, aug_noise)
+    inner = _train_step_body(
+        model, transform, tx, aug_contrast, aug_noise, grad_accum
+    )
     body = jax.vmap(inner) if seed_axis == "vmap" else _seed_mapped(inner)
 
     def multi_step(vstate: TrainState, batches: Dict[str, jnp.ndarray]):

@@ -237,6 +237,33 @@ class TestAST:
         )
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
 
+    def test_remat_policy_matches_plain(self):
+        """Selective remat (remat_policy="dots_saveable": matmul outputs
+        saved, elementwise recomputed) must also leave loss and gradients
+        unchanged — same contract as full block remat above."""
+        kw = dict(model_size="tiny224", input_fdim=64, input_tdim=32)
+        model0 = ASTModel(**kw)
+        model1 = ASTModel(remat_policy="dots_saveable", **kw)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 1, 64, 32).astype(np.float32)
+        )
+        params = model0.init(jax.random.key(0), x)["params"]
+
+        def loss(model, p):
+            out = model.apply(
+                {"params": p}, x, train=True,
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return (out ** 2).mean()
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(model0, p))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(model1, p))(params)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
 
 class TestGridModelParser:
     def test_bracketed_alternatives_expand(self):
@@ -438,6 +465,11 @@ class TestASTFactory:
         )
         assert model.remat_blocks is True
         assert model.fused_attention is True
+        assert model.remat_policy is None
+        model = get_model(
+            self._args(ast_remat_policy="dots_saveable"), "modules"
+        )
+        assert model.remat_policy == "dots_saveable"
 
     def test_bad_geometry_rejected(self):
         # tdim claimed 101 but probed input is 48 wide -> patch reshape fails

@@ -114,6 +114,35 @@ class TestVectorizedParity:
             _assert_tree_close(got.opt_state, finals[i].opt_state)
             assert int(got.step) == 3
 
+    def test_grad_accum_matches_serial(self):
+        """grad_accum composes with the seed axis: the [S]-vectorized
+        accumulated step equals per-seed serial accumulated steps (both
+        seed_axis modes)."""
+        model, tx = _model(), make_optimizer(4e-4, 1e-3)
+        img = _transform(jnp.zeros((2, 1, 2048)))
+        streams = _seed_batches(2)
+
+        serial_step = make_train_step(model, _transform, tx, grad_accum=2)
+        finals = []
+        for i, s in enumerate(SEEDS):
+            st = create_train_state(model, tx, img, seed=s)
+            for b in streams[i]:
+                st, _ = serial_step(st, b)
+            finals.append(st)
+
+        for axis in ("vmap", "scan"):
+            vstate = create_vectorized_state(model, tx, img, SEEDS)
+            vstep = make_vectorized_train_step(
+                model, _transform, tx, seed_axis=axis, grad_accum=2
+            )
+            for t in range(2):
+                vstate, stats = vstep(vstate, _stack_step(streams, t))
+                assert stats["loss"].shape == (len(SEEDS),)
+            for i in range(len(SEEDS)):
+                got = state_for_seed(vstate, i)
+                _assert_tree_close(got.params, finals[i].params)
+                _assert_tree_close(got.batch_stats, finals[i].batch_stats)
+
     def test_multi_step_matches_chained_single(self):
         model, tx = _model(), make_optimizer(4e-4, 1e-3)
         img = _transform(jnp.zeros((2, 1, 2048)))

@@ -27,6 +27,7 @@ def ast_train_setup(
     remat: bool = False,
     moments_dtype=None,
     grad_accum: int = 1,
+    remat_policy=None,
 ):
     """Build (state, step) for the AST train step — shared with
     tools/profile_step.py's --ast trace mode.
@@ -54,6 +55,7 @@ def ast_train_setup(
         precision=jax.lax.Precision.DEFAULT,
         fused_attention=fused_attention,
         remat_blocks=remat,
+        remat_policy=remat_policy,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, 1, 256, 101).astype(np.float32))
@@ -96,6 +98,11 @@ def main() -> None:
         help="scan the step over N microbatches of batch/N "
         "(activation-memory / VMEM-pressure lever)",
     )
+    ap.add_argument(
+        "--remat-policy", default=None,
+        help="named jax.checkpoint_policies selective-remat policy for "
+        "the encoder blocks (e.g. dots_saveable); implies remat",
+    )
     args = ap.parse_args()
 
     import jax
@@ -132,6 +139,7 @@ def main() -> None:
             args.batch, args.size, args.fused_attention, args.remat,
             moments_dtype="bfloat16" if args.bf16_moments else None,
             grad_accum=args.grad_accum,
+            remat_policy=args.remat_policy,
         )
         state, loss = step(state)
         float(loss)
