@@ -80,29 +80,29 @@ def measure_tpu():
     dt = time.time() - t0
     step_s = dt / STEPS
 
-    # Efficiency, not just throughput (round-3 verdict weak #7): derive
-    # achieved HBM bandwidth / MFU from XLA's compiled cost model so the
-    # driver-captured JSON catches efficiency regressions that frames/s
-    # hides.  CAVEAT: Pallas custom calls report ~0 bytes/flops to the XLA
-    # cost analysis, so these are lower bounds covering the XLA-visible
-    # portion of the step (WPT, later convs, backward, optimizer) — stable
-    # as a regression signal, not an absolute roofline claim (that lives
-    # in docs/benchmarks.md with the hand-itemized inventory).
+    # Efficiency, not just throughput (round-3 verdict weak #7): achieved
+    # HBM bandwidth / MFU so the driver-captured JSON catches efficiency
+    # regressions that frames/s hides.  Pallas custom calls report ~0
+    # bytes/flops to XLA's cost analysis; utils/costs.py recovers their
+    # operand+result traffic from the compiled HLO, so hbm_util covers the
+    # WHOLE step (XLA ops + fused Mosaic kernels).  MFU remains XLA-only
+    # (Pallas flops are unrecoverable from an opaque call) — for this
+    # bandwidth-bound step hbm_util is the binding roofline anyway.
     eff = {}
     try:
-        ca = step.lower(state, dbatch).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] or {}
-        xla_bytes = float(ca.get("bytes accessed", 0.0))
-        flops = float(ca.get("flops", 0.0))
-        if xla_bytes > 0:
-            eff["xla_bytes_per_step"] = xla_bytes
+        from audiodeepfake_detection_tpu.utils.costs import compiled_cost
+
+        cost = compiled_cost(step.lower(state, dbatch).compile())
+        if cost["bytes"] > 0:
+            eff["xla_bytes_per_step"] = cost["xla_bytes"]
+            if cost["pallas_bytes"] > 0:
+                eff["pallas_bytes_per_step"] = cost["pallas_bytes"]
             # v5e HBM peak ~819 GB/s
-            eff["hbm_gbps"] = xla_bytes / step_s / 1e9
-            eff["hbm_util"] = xla_bytes / step_s / 819e9
-        if flops > 0:
+            eff["hbm_gbps"] = cost["bytes"] / step_s / 1e9
+            eff["hbm_util"] = cost["bytes"] / step_s / 819e9
+        if cost["xla_flops"] > 0:
             # v5e bf16 peak ~197 TFLOP/s
-            eff["mfu"] = flops / step_s / 197e12
+            eff["mfu"] = cost["xla_flops"] / step_s / 197e12
     except Exception:
         pass
     return STEPS * BATCH / dt, step_s, eff
