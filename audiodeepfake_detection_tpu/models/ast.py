@@ -59,6 +59,32 @@ class _DropPath(nn.Module):
         return x * mask.astype(x.dtype) / keep
 
 
+class _Int8Dense(nn.Module):
+    """Param-compatible ``nn.Dense`` running on the int8 MXU path.
+
+    Declares the same ``kernel``/``bias`` tree as ``nn.Dense`` (trained
+    variables slot straight in) but computes ``x @ W`` as s8xs8->s32 with
+    per-output-column weight scales (ops/quantize.py).  Inference-only:
+    the straight-through rounding has no gradient.
+    """
+
+    features: int
+    act_scale: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quantize import quantized_dense
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = quantized_dense(x, kernel, self.act_scale, out_dtype=x.dtype)
+        return y + bias.astype(x.dtype)
+
+
 class _Block(nn.Module):
     embed_dim: int
     num_heads: int
@@ -77,6 +103,24 @@ class _Block(nn.Module):
     # traffic).  Requires attn_drop_rate == 0 and no tensor-parallel head
     # sharding (an unpartitioned Pallas call would be replicated by GSPMD).
     fused_attention: bool = False
+    # Post-training int8 (inference): "calibrate" sows each Dense input's
+    # absmax into "quant_obs"; a {site: scale} dict (keys "qkv"/"proj"/
+    # "fc1"/"fc2") runs those matmuls on the int8 MXU (ops/quantize.py).
+    quant: Any = None
+
+    def _q(self, name: str, x: jnp.ndarray):
+        """Calibration sow / calibrated activation scale for one site."""
+        if self.quant == "calibrate":
+            from ..ops.quantize import absmax_sow
+
+            absmax_sow(self, name, x)
+            return None
+        from collections.abc import Mapping
+
+        if isinstance(self.quant, Mapping):
+            v = self.quant.get(name)
+            return None if v is None else float(v)
+        return None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -86,13 +130,18 @@ class _Block(nn.Module):
             else self.precision
         )
 
-        def Dense(feat, name):
-            return nn.Dense(feat, name=name, dtype=self.dtype, precision=prec)
+        def Dense(feat, name, inp):
+            scale = self._q(name, inp)
+            if scale is not None:
+                return _Int8Dense(feat, scale, name=name)(inp)
+            return nn.Dense(
+                feat, name=name, dtype=self.dtype, precision=prec
+            )(inp)
 
         drop_path = _DropPath(self.drop_path_rate, name="drop_path")
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
         b, n, d = h.shape
-        qkv = Dense(3 * d, "qkv")(h)
+        qkv = Dense(3 * d, "qkv", h)
         if self.fused_attention and self.attn_drop_rate == 0.0:
             from ..ops.flash_attention import flash_mha_packed
 
@@ -117,14 +166,14 @@ class _Block(nn.Module):
             h = jnp.einsum(
                 "bhnm,bmhd->bnhd", attn, v, precision=prec
             ).reshape(b, n, d)
-        h = Dense(d, "proj")(h)
+        h = Dense(d, "proj", h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         x = x + drop_path(h, train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
-        h = Dense(int(d * self.mlp_ratio), "fc1")(h)
+        h = Dense(int(d * self.mlp_ratio), "fc1", h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
-        h = Dense(d, "fc2")(h)
+        h = Dense(d, "fc2", h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         return x + drop_path(h, train)
 
@@ -156,6 +205,13 @@ class ASTModel(nn.Module):
     # only elementwise/VPU work (LayerNorm, GELU, softmax) recomputes —
     # cheaper backward than full remat. Measured A/B: docs/benchmarks.md.
     remat_policy: Any = None
+    # Post-training int8 quantization (inference only, ops/quantize.py):
+    # "calibrate" records each block Dense input's absmax into the
+    # "quant_obs" collection; a {"block_i/site": act_scale} dict (sites
+    # qkv/proj/fc1/fc2 — ~94% of the forward FLOPs) runs those matmuls as
+    # s8xs8->s32 on the MXU.  Patch embed and head stay in the working
+    # dtype.  Requires train=False (int8 rounding has no gradient).
+    quant: Any = None
 
     def setup(self) -> None:
         # setup-style (not @nn.compact) so the three phases — embed /
@@ -209,6 +265,21 @@ class ASTModel(nn.Module):
             block_cls = nn.remat(_Block, static_argnums=(2,))
         else:
             block_cls = _Block
+        from collections.abc import Mapping
+
+        def block_quant(i: int):
+            if self.quant == "calibrate":
+                return "calibrate"
+            if isinstance(self.quant, Mapping):
+                pre = f"block_{i}/"
+                sub = {
+                    k[len(pre):]: v
+                    for k, v in self.quant.items()
+                    if k.startswith(pre)
+                }
+                return sub or None
+            return None
+
         self.blocks = [
             block_cls(
                 d,
@@ -222,6 +293,7 @@ class ASTModel(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 fused_attention=self.fused_attention,
+                quant=block_quant(i),
             )
             for i in range(cfg["depth"])
         ]
@@ -273,6 +345,13 @@ class ASTModel(nn.Module):
         return self.head(h)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from collections.abc import Mapping
+
+        if train and isinstance(self.quant, Mapping):
+            raise ValueError(
+                "quant is inference-only (int8 rounding has no gradient);"
+                " call with train=False"
+            )
         return self.classify(self.encode(self.embed(x, train), train))
 
     def get_name(self) -> str:

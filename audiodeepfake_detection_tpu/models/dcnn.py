@@ -87,6 +87,12 @@ class DCNN(nn.Module):
     # per batch shard via shard_map (ops/fused_conv1.batch_shard_mapped) —
     # GSPMD would otherwise replicate the Pallas custom call.
     mesh: Any = None
+    # Post-training int8 quantization (inference only, ops/quantize.py):
+    # "calibrate" records per-conv input absmax into the "quant_obs"
+    # collection; a {conv_name: act_scale} dict runs those convs as
+    # s8xs8->s32 MXU ops with per-output-channel weight scales.  Requires
+    # fold_bn (BN folds into the quantized weights) and train=False.
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -100,6 +106,32 @@ class DCNN(nn.Module):
             from .layers import Conv2d as _C
 
             return _C(*a, precision=prec, dtype=self.dtype, **k)
+
+        if self.quant is not None:
+            if train:
+                raise ValueError(
+                    "quant is inference-only (int8 rounding has no gradient);"
+                    " call with train=False"
+                )
+            if not self.fold_bn:
+                raise ValueError(
+                    "quant requires fold_bn=True: BatchNorm folds into the"
+                    " quantized conv weights"
+                )
+
+        def _quant_site(mdl_x, conv_name):
+            """Calibration sow / calibrated scale for one conv input."""
+            if self.quant == "calibrate":
+                from ..ops.quantize import absmax_sow
+
+                absmax_sow(self, conv_name, mdl_x)
+                return None
+            from collections.abc import Mapping
+
+            if isinstance(self.quant, Mapping):  # flax freezes dict attrs
+                v = self.quant.get(conv_name)
+                return None if v is None else float(v)
+            return None
 
         # [B, C, F, T] -> NHWC [B, T, F, C] (reference permutes F/T then runs
         # NCHW; same arrangement, channel-last).
@@ -163,9 +195,18 @@ class DCNN(nn.Module):
             kernel, bias = _ConvScope(
                 (k1, k1, x.shape[-1], self.ochannels1), name="cnn_0"
             )()
-            x = first_conv(
-                x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
-            )
+            scale0 = _quant_site(x, "cnn_0")
+            if scale0 is not None:
+                from ..ops.quantize import quantized_conv
+
+                x = quantized_conv(
+                    x, kernel.astype(jnp.float32), scale0, 2,
+                    out_dtype=x.dtype,
+                ) + bias.astype(x.dtype)
+            else:
+                x = first_conv(
+                    x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
+                )
             x = PReLU(name="cnn_1")(x)
             x = max_pool_2x2(x)
         def bn_conv(
@@ -180,6 +221,7 @@ class DCNN(nn.Module):
                     bn_name=bn_name, conv_name=conv_name, affine=affine,
                     features=feat, kernel_size=k, padding=padding,
                     dilation=dilation, precision=prec, stats=stats,
+                    act_scale=_quant_site(x, conv_name),
                 )
             x = BatchNorm(affine=affine, name=bn_name)(x, train)
             return Conv2d(

@@ -163,6 +163,7 @@ def folded_bn_conv(
     dilation: int = 1,
     precision=None,
     stats=None,
+    act_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """``conv(BN(x))`` with the normalisation folded into the conv weights.
 
@@ -176,6 +177,12 @@ def folded_bn_conv(
     called inside an ``@nn.compact`` ``__call__`` (the child modules attach
     to the calling scope).  ``stats``: optional precomputed ``(sum, sumsq)``
     of ``x`` for the BN moments (see ``_torch_bn_stats``).
+
+    ``act_scale``: calibrated per-tensor activation scale — runs the main
+    conv as s8xs8->s32 on the MXU (ops/quantize.py), dequantized with the
+    per-output-channel weight scales.  Inference-only (the straight-through
+    rounding has no gradient); the correction-map conv and bias stay in the
+    working dtype.
     """
     s, t = BatchNormStats(affine=affine, name=bn_name)(x, train, stats)
     cin = x.shape[-1]
@@ -186,11 +193,23 @@ def folded_bn_conv(
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(padding, padding), (padding, padding)]
     dil = (dilation, dilation)
-    w_folded = (kernel * s[None, None, :, None]).astype(dt)
-    y = jax.lax.conv_general_dilated(
-        x, w_folded, (1, 1), pad, rhs_dilation=dil,
-        dimension_numbers=dn, precision=precision,
-    )
+    if act_scale is not None:
+        from ..ops.quantize import quantized_conv
+
+        # fold in fp32 (weight quantization thresholds shouldn't inherit
+        # working-dtype rounding), quantize per output channel in the op
+        w_folded32 = kernel.astype(jnp.float32) * s.astype(jnp.float32)[
+            None, None, :, None
+        ]
+        y = quantized_conv(
+            x, w_folded32, act_scale, pad, dilation, out_dtype=dt
+        )
+    else:
+        w_folded = (kernel * s[None, None, :, None]).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x, w_folded, (1, 1), pad, rhs_dilation=dil,
+            dimension_numbers=dn, precision=precision,
+        )
     t_map = jnp.broadcast_to(t.astype(dt), (1, x.shape[1], x.shape[2], cin))
     const = jax.lax.conv_general_dilated(
         t_map, kernel.astype(dt), (1, 1), pad, rhs_dilation=dil,

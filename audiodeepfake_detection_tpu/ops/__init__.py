@@ -10,6 +10,14 @@ from .normalize import (  # noqa: F401
     welford_init,
     welford_update,
 )
+from .quantize import (  # noqa: F401
+    calibrate_dcnn,
+    calibrate_model,
+    quantize_dcnn,
+    quantize_model,
+    quantized_conv,
+    quantized_dense,
+)
 from .stft import hann_window, spectrogram  # noqa: F401
 from .wavelets import Wavelet, get_wavelet, qmf  # noqa: F401
 from .wpt import (  # noqa: F401

@@ -1,0 +1,282 @@
+"""Post-training int8 quantization for the serving/eval path.
+
+A beyond-reference capability (the reference serves fp32 torch models
+only): symmetric int8 quantization of the DCNN's convolutions for
+inference.  v5e's MXU runs s8xs8->s32 at 2x the bf16 FLOP rate and int8
+activations halve the HBM bytes of the early conv layers, which dominate
+the eval step.
+
+Scheme (standard symmetric PTQ):
+
+* activations: per-tensor scale ``s_x`` calibrated as the absmax of the
+  layer input over a calibration set (the input of a BN-folded conv is the
+  RAW previous activation — BN lives in the weights, see
+  ``models/layers.py::folded_bn_conv``);
+* weights: per-output-channel scale ``s_w[oc] = absmax(w_eff[..., oc])/127``
+  computed on the fly from the (BN-folded) kernel — weights are ~239k
+  params, so this costs nothing and imported ``.pt`` checkpoints quantize
+  without a conversion step;
+* accumulate in int32 on the MXU, dequantize with ``s_x * s_w[oc]``, then
+  bias/PReLU/pool run in the working dtype as before.
+
+Zero padding is exact under symmetric quantization (0 -> 0), so padded
+convs need no zero-point handling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_activation(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Symmetric per-tensor int8: ``clip(round(x / s), -127, 127)``."""
+    inv = 1.0 / max(float(scale), 1e-30)
+    q = jnp.round(x.astype(jnp.float32) * inv)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def quantize_weight_per_channel(w: jnp.ndarray):
+    """Per-output-channel symmetric int8 for an HWIO kernel.
+
+    Returns ``(w_q int8 HWIO, s_w f32 [O])``.
+    """
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    s_w = jnp.maximum(absmax, 1e-30) / 127.0
+    q = jnp.round(w.astype(jnp.float32) / s_w[None, None, None, :])
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8), s_w
+
+
+def quantized_dense(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    act_scale: float,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """``x @ kernel`` on the int8 MXU path (no bias).
+
+    ``x``: ``[..., In]`` activations, ``kernel``: ``[In, Out]`` — the flax
+    ``nn.Dense`` layout.  Per-output-column symmetric weight scales are
+    computed on the fly (a Dense kernel is small next to its activations);
+    ``act_scale`` is the calibrated per-tensor activation scale, a Python
+    float so the requant threshold folds into the producing fusion.
+    """
+    out_dtype = out_dtype or x.dtype
+    x_q = quantize_activation(x, act_scale)
+    w32 = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)
+    s_w = jnp.maximum(absmax, 1e-30) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / s_w[None, :]), -127.0, 127.0).astype(
+        jnp.int8
+    )
+    y = jax.lax.dot_general(
+        x_q,
+        w_q,
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (float(act_scale) * s_w).astype(jnp.float32)
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def int8_conv(
+    x_q: jnp.ndarray,
+    w_q: jnp.ndarray,
+    padding,
+    dilation: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """s8 x s8 -> s32 NHWC convolution (MXU int8 path)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    return jax.lax.conv_general_dilated(
+        x_q,
+        w_q,
+        (1, 1),
+        padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+        precision=precision,
+    )
+
+
+def quantized_conv(
+    x: jnp.ndarray,
+    w_eff: jnp.ndarray,
+    act_scale: float,
+    padding,
+    dilation: int = 1,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Full quantize -> int8 conv -> dequantize pipeline.
+
+    ``w_eff`` is the effective (e.g. BN-folded) HWIO kernel; ``act_scale``
+    the calibrated per-tensor activation scale (a Python float: a
+    compile-time constant, so requantization thresholds fold into the
+    producing fusion).  Returns the dequantized conv output (no bias).
+    """
+    out_dtype = out_dtype or x.dtype
+    x_q = quantize_activation(x, act_scale)
+    w_q, s_w = quantize_weight_per_channel(w_eff)
+    y = int8_conv(x_q, w_q, padding, dilation)
+    scale = (float(act_scale) * s_w).astype(jnp.float32)
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+class QuantObserver:
+    """Records per-site activation absmax during calibration.
+
+    Used via flax ``sow`` into the ``quant_obs`` collection (see
+    ``models/dcnn.py``); this class only namespaces the reducer so both
+    sides agree on the semantics.
+    """
+
+    collection = "quant_obs"
+
+    @staticmethod
+    def reduce(prev: Optional[jnp.ndarray], new: jnp.ndarray) -> jnp.ndarray:
+        return new if prev is None else jnp.maximum(prev, new)
+
+
+def absmax_sow(mdl, name: str, x: jnp.ndarray) -> None:
+    """Sow ``absmax(x)`` for conv site ``name`` (calibration mode).
+
+    Sown as ``<name>_in`` — a bare ``name`` would collide with the conv
+    child module's scope name in the variable tree.
+    """
+    mdl.sow(
+        QuantObserver.collection,
+        name + "_in",
+        jnp.max(jnp.abs(x.astype(jnp.float32))),
+        reduce_fn=lambda a, b: jnp.maximum(a, b),
+        init_fn=lambda: jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def _site_name(sown: str) -> str:
+    return sown[:-3] if sown.endswith("_in") else sown
+
+
+def scales_from_observations(obs: dict, margin: float = 1.0) -> dict:
+    """Turn a ``quant_obs`` collection into ``{conv_name: act_scale}``.
+
+    ``margin`` > 1 leaves clipping headroom; absmax calibration with
+    margin 1.0 never clips the calibration set.
+    """
+    flat = obs.get(QuantObserver.collection, obs)
+    out = {}
+    for name, val in flat.items():
+        if isinstance(val, (tuple, list)):  # flax sow may tuple-wrap
+            val = val[0] if len(val) == 1 else max(float(v) for v in val)
+        out[_site_name(name)] = float(val) * float(margin) / 127.0
+    return out
+
+
+#: conv sites quantized by default: the six front convs carry ~99% of the
+#: eval FLOPs/bytes; the dilated block (12-channel convs) and the linear
+#: head stay in the working dtype to protect accuracy for free.
+DEFAULT_INT8_SITES = ("cnn_0", "cnn_4", "cnn_7", "cnn_11", "cnn_14", "cnn_17")
+
+
+def _flatten_obs(tree: dict, prefix: str = "") -> dict:
+    """Flatten a nested ``quant_obs`` collection to ``{path: absmax}``.
+
+    Nested module scopes join with ``/`` (e.g. the AST's
+    ``{"block_0": {"qkv_in": v}}`` -> ``{"block_0/qkv": v}``); the DCNN's
+    top-level sites stay flat (``"cnn_4"``).
+    """
+    import numpy as np
+
+    out: dict = {}
+    for name, val in tree.items():
+        if isinstance(val, (tuple, list)):  # flax sow may tuple-wrap
+            val = val[0] if len(val) == 1 else max(float(v) for v in val)
+        if isinstance(val, dict):
+            out.update(_flatten_obs(val, prefix + name + "/"))
+        else:
+            out[prefix + _site_name(name)] = float(np.asarray(val))
+    return out
+
+
+def calibrate_model(
+    model,
+    variables,
+    images,
+    include=None,
+    margin: float = 1.0,
+) -> dict:
+    """Absmax-calibrate activation scales for any ``quant``-capable model.
+
+    ``images`` iterates transform outputs (the model input).  Runs the
+    model in ``quant="calibrate"`` mode (activations flow UN-quantized,
+    each quantizable site's input absmax is recorded into the
+    ``quant_obs`` collection) and returns ``{site: act_scale}`` restricted
+    to ``include`` (None = all observed sites).  Site keys are
+    ``/``-joined module paths (``"cnn_4"``, ``"block_0/qkv"``).
+    """
+    kwargs = {"quant": "calibrate"}
+    # sow inside nn.remat is not supported: calibration always runs the
+    # plain forward (the quantized model keeps the caller's remat setting)
+    for attr, off in (("remat_blocks", False), ("remat_policy", None)):
+        if hasattr(model, attr):
+            kwargs[attr] = off
+    calib = model.clone(**kwargs)
+    absmax: dict = {}
+    for img in images:
+        _, mut = calib.apply(
+            variables, img, train=False, mutable=[QuantObserver.collection]
+        )
+        for site, v in _flatten_obs(mut[QuantObserver.collection]).items():
+            absmax[site] = max(absmax.get(site, 0.0), v)
+    if not absmax:
+        raise ValueError("calibration saw no batches (empty `images`)")
+    scales = {k: v * float(margin) / 127.0 for k, v in absmax.items()}
+    if include is not None:
+        scales = {k: v for k, v in scales.items() if k in include}
+    return scales
+
+
+def quantize_model(
+    model,
+    variables,
+    images,
+    include=None,
+    margin: float = 1.0,
+):
+    """Calibrate and return ``(quantized_model, scales)``.
+
+    The returned model is the same flax module with ``quant=scales`` set:
+    ``model.apply(variables, x, train=False)`` now runs the included sites
+    on the int8 MXU path.  ``variables`` are unchanged (weights quantize on
+    the fly from the effective kernels, so imported ``.pt`` checkpoints
+    work without a conversion artifact).  ``include=None`` quantizes every
+    observed site; the DCNN aliases below default to the six front convs
+    (the dilated block and the head stay fp to protect accuracy for free —
+    they carry ~1% of the FLOPs).
+    """
+    scales = calibrate_model(
+        model, variables, images, include=include, margin=margin
+    )
+    return model.clone(quant=scales), scales
+
+
+def calibrate_dcnn(
+    model, variables, images, include=DEFAULT_INT8_SITES, margin: float = 1.0
+) -> dict:
+    """DCNN-family alias of :func:`calibrate_model` (default: front convs)."""
+    return calibrate_model(
+        model, variables, images, include=include, margin=margin
+    )
+
+
+def quantize_dcnn(
+    model, variables, images, include=DEFAULT_INT8_SITES, margin: float = 1.0
+):
+    """DCNN-family alias of :func:`quantize_model` (default: front convs)."""
+    scales = calibrate_model(
+        model, variables, images, include=include, margin=margin
+    )
+    return model.clone(quant=scales), scales

@@ -48,6 +48,7 @@ def score_files(
     aggregate: str = "mean",
     self_norm: bool = False,
     output: str = "prob",
+    int8: bool = False,
 ) -> Dict[str, float]:
     """Per-file fake probability (or logit margin), aggregated over frames.
 
@@ -57,6 +58,11 @@ def score_files(
     is unavailable (e.g. the bundled reference checkpoints, which ship
     without stats; un-normalized log-packet inputs sit far outside the
     trained input distribution and saturate the classifier).
+
+    ``int8`` quantizes the model post-training for the int8 MXU path
+    (DCNN front convs / AST block matmuls, ops/quantize.py),
+    absmax-calibrated on the first scored batches — a serving-throughput
+    option the reference has no analogue for.
     """
     from ..data.wavio import audio_read
     from ..ops.audio import resample
@@ -92,6 +98,31 @@ def score_files(
         )
         mean, std = compute_normalization(transform, _batches(), probe.shape[1])
         transform = normalized_transform(transform, mean, std)
+
+    if int8:
+        from ..ops.quantize import DEFAULT_INT8_SITES, quantize_model
+
+        if not hasattr(model, "quant"):
+            raise ValueError(
+                "int8 scoring supports the DCNN and AST families only "
+                f"(got {type(model).__name__})"
+            )
+        # DCNN: the six front convs (dilated block + head stay fp);
+        # AST: every block Dense layer (~94% of the forward FLOPs)
+        from ..models.dcnn import DCNN
+
+        include = DEFAULT_INT8_SITES if isinstance(model, DCNN) else None
+
+        def _calib_images(max_batches: int = 4):
+            for start in range(
+                0, min(len(frames), max_batches * batch_size), batch_size
+            ):
+                chunk = np.stack(frames[start : start + batch_size])
+                yield transform(jnp.asarray(chunk[:, None, :]))
+
+        model, _ = quantize_model(
+            model, variables, _calib_images(), include=include
+        )
 
     score = make_score_fn(model, transform, variables, output=output)
     scores = np.zeros(len(frames), np.float32)
@@ -316,6 +347,11 @@ def main(argv=None) -> None:
         help="estimate normalization stats from the scored files "
         "(approximation for snapshots without a *_mean_std.pkl)",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="post-training int8 quantization (DCNN convs / AST block "
+        "matmuls; calibrated on the first scored batches)",
+    )
     parser.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
 
@@ -345,6 +381,7 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         aggregate=args.aggregate,
         self_norm=args.self_norm,
+        int8=args.int8,
     )
     if args.as_json:
         print(json.dumps(scores, indent=2, sort_keys=True))

@@ -1,0 +1,300 @@
+"""Post-training int8 quantization (ops/quantize.py + DCNN quant mode).
+
+Covers the mechanics (per-channel weight quant, quantized conv error
+bounds), the calibrate -> clone -> apply flow, the guard rails, and — with
+the bundled reference artifacts — that the int8 sym5 checkpoint still
+separates real from GAN clips with near-identical logit margins.
+"""
+
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodeepfake_detection_tpu.models.dcnn import DCNN
+from audiodeepfake_detection_tpu.ops.quantize import (
+    DEFAULT_INT8_SITES,
+    calibrate_dcnn,
+    int8_conv,
+    quantize_activation,
+    quantize_dcnn,
+    quantize_weight_per_channel,
+    quantized_conv,
+)
+
+SNAP = "/root/reference/models"
+SAMPLES = "/root/reference/audio-samples/classification_examples"
+
+
+class TestMechanics:
+    def test_weight_roundtrip_error_bound(self):
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32))
+        w_q, s_w = quantize_weight_per_channel(w)
+        assert w_q.dtype == jnp.int8
+        deq = w_q.astype(jnp.float32) * s_w[None, None, None, :]
+        # symmetric rounding: per-element error <= half a quantization step
+        err = jnp.abs(deq - w)
+        assert float(jnp.max(err - 0.5 * s_w[None, None, None, :])) <= 1e-6
+
+    def test_activation_quant_clips(self):
+        x = jnp.asarray([-10.0, -1.0, 0.0, 0.5, 10.0])
+        q = quantize_activation(x, scale=1.0 / 127.0)
+        np.testing.assert_array_equal(
+            np.asarray(q), np.asarray([-127, -127, 0, 64, 127], np.int8)
+        )
+
+    def test_int8_conv_matches_int32_math(self):
+        rng = np.random.RandomState(1)
+        x_q = jnp.asarray(rng.randint(-127, 128, (2, 8, 8, 4), dtype=np.int8))
+        w_q = jnp.asarray(rng.randint(-127, 128, (3, 3, 4, 6), dtype=np.int8))
+        y = int8_conv(x_q, w_q, 1)
+        assert y.dtype == jnp.int32
+        ref = jax.lax.conv_general_dilated(
+            x_q.astype(jnp.int32), w_q.astype(jnp.int32), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def test_quantized_conv_error_bound(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+        scale = float(jnp.max(jnp.abs(x))) / 127.0
+        y = quantized_conv(x, w, scale, 1)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, rel
+
+
+@pytest.fixture(scope="module")
+def small_dcnn():
+    model = DCNN(time_dim=12)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(4, 1, 256, 95).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    return model, variables, img
+
+
+class TestDCNNQuant:
+    def test_calibration_observes_all_conv_sites(self, small_dcnn):
+        model, variables, img = small_dcnn
+        scales = calibrate_dcnn(model, variables, [img], include=None)
+        # six front convs + three dilated convs
+        assert set(scales) == {
+            "cnn_0", "cnn_4", "cnn_7", "cnn_11", "cnn_14", "cnn_17",
+            "dil_1", "dil_4", "dil_7",
+        }
+        assert all(v > 0 for v in scales.values())
+
+    def test_default_include_is_front_convs(self, small_dcnn):
+        model, variables, img = small_dcnn
+        scales = calibrate_dcnn(model, variables, [img])
+        assert set(scales) == set(DEFAULT_INT8_SITES)
+
+    def test_quantized_logits_close_and_argmax_stable(self, small_dcnn):
+        model, variables, img = small_dcnn
+        ref = model.apply(variables, img, train=False)
+        qmodel, scales = quantize_dcnn(model, variables, [img])
+        out = qmodel.apply(variables, img, train=False)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert err < 0.05 * scale, (err, scale)
+        assert bool(jnp.all(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
+
+    def test_multi_batch_calibration_takes_max(self, small_dcnn):
+        model, variables, img = small_dcnn
+        s1 = calibrate_dcnn(model, variables, [img])
+        s2 = calibrate_dcnn(model, variables, [img, 3.0 * img])
+        for k in s1:
+            assert s2[k] >= s1[k]
+
+    def test_quant_rejects_train(self, small_dcnn):
+        model, variables, img = small_dcnn
+        qmodel, _ = quantize_dcnn(model, variables, [img])
+        with pytest.raises(ValueError, match="inference-only"):
+            qmodel.apply(
+                variables, img, train=True,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+
+    def test_quant_requires_fold_bn(self, small_dcnn):
+        model, variables, img = small_dcnn
+        bad = model.clone(quant={"cnn_4": 0.1}, fold_bn=False)
+        with pytest.raises(ValueError, match="fold_bn"):
+            bad.apply(variables, img, train=False)
+
+    def test_empty_calibration_raises(self, small_dcnn):
+        model, variables, _ = small_dcnn
+        with pytest.raises(ValueError, match="no batches"):
+            calibrate_dcnn(model, variables, [])
+
+
+@pytest.fixture(scope="module")
+def tiny_ast():
+    from audiodeepfake_detection_tpu.models.ast import ASTModel
+
+    model = ASTModel(
+        model_size="tiny224", input_fdim=64, input_tdim=48, label_dim=2
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 1, 64, 48).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    return model, variables, img
+
+
+class TestASTQuant:
+    def test_calibration_observes_all_dense_sites(self, tiny_ast):
+        from audiodeepfake_detection_tpu.ops.quantize import calibrate_model
+
+        model, variables, img = tiny_ast
+        scales = calibrate_model(model, variables, [img])
+        expect = {
+            f"block_{i}/{site}"
+            for i in range(12)
+            for site in ("qkv", "proj", "fc1", "fc2")
+        }
+        assert set(scales) == expect
+        assert all(v > 0 for v in scales.values())
+
+    def test_quantized_logits_close_and_params_compatible(self, tiny_ast):
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = tiny_ast
+        ref = model.apply(variables, img, train=False)
+        qmodel, scales = quantize_model(model, variables, [img])
+        out = qmodel.apply(variables, img, train=False)  # same variables
+        # random-init logits have no trained margins, so this only bounds
+        # the error accumulation through 48 quantized matmuls (measured
+        # ~9% rel.); trained-checkpoint accuracy is locked by the bundled
+        # DCNN test below (margins within 0.7 of fp32)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert err < 0.15 * scale, (err, scale)
+
+    def test_include_subset_quantizes_only_those_blocks(self, tiny_ast):
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = tiny_ast
+        qmodel, scales = quantize_model(
+            model, variables, [img], include=("block_0/qkv", "block_3/fc1")
+        )
+        assert set(scales) == {"block_0/qkv", "block_3/fc1"}
+        # runs, and stays closer to fp32 than full quantization
+        out = qmodel.apply(variables, img, train=False)
+        ref = model.apply(variables, img, train=False)
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.05 * float(
+            jnp.max(jnp.abs(ref))
+        ) + 1e-6
+
+    def test_quant_rejects_train(self, tiny_ast):
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = tiny_ast
+        qmodel, _ = quantize_model(model, variables, [img])
+        with pytest.raises(ValueError, match="inference-only"):
+            qmodel.apply(
+                variables, img, train=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+
+    def test_calibration_disables_remat(self, tiny_ast):
+        """sow inside nn.remat is unsupported — calibrate_model must clone
+        remat off (the quantized model keeps the caller's setting)."""
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = tiny_ast
+        qmodel, scales = quantize_model(
+            model.clone(remat_blocks=True), variables, [img]
+        )
+        assert scales and qmodel.remat_blocks is True
+
+
+class TestInt8Export:
+    def test_quantized_scorer_exports_and_roundtrips(self, small_dcnn, tmp_path):
+        """A quantized model is plain jax ops (s8 dot_general), so the
+        StableHLO serving export (train/export.py) must work unchanged:
+        the reloaded artifact reproduces the in-process quantized scorer
+        bit-exactly."""
+        import os
+
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+        from audiodeepfake_detection_tpu.train.export import (
+            export_scorer,
+            load_artifact,
+            save_artifact,
+        )
+        from audiodeepfake_detection_tpu.train.predict import make_score_fn
+
+        model, variables, img = small_dcnn
+        qmodel, _ = quantize_model(
+            model, variables, [img], include=DEFAULT_INT8_SITES
+        )
+        f, t = img.shape[2], img.shape[3]
+        win = f * t
+
+        def transform(audio):  # raw frame -> model image (stand-in)
+            return audio.reshape(audio.shape[0], 1, f, t)
+
+        exported = export_scorer(qmodel, transform, variables, win, batch_size=2)
+        path = os.path.join(tmp_path, "int8.adfx")
+        save_artifact(exported, path, {"win": win})
+        reloaded, meta = load_artifact(path)
+
+        rng = np.random.RandomState(3)
+        audio = jnp.asarray(rng.randn(2, 1, win).astype(np.float32))
+        want = np.asarray(make_score_fn(qmodel, transform, variables)(audio))
+        got = np.asarray(reloaded.call(audio))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestBundledCheckpointInt8:
+    def test_int8_sym5_checkpoint_discriminates(self):
+        """The imported reference sym5 checkpoint quantized to int8 keeps
+        the real clip's logit margin strongly negative and every GAN
+        clip's strongly positive, within ~1 logit of the fp32 margins
+        (measured deltas <= 0.7 on |margins| 5-12)."""
+        snaps = glob.glob(f"{SNAP}/model_packetssym5_*.pt")
+        real = sorted(glob.glob("/root/reference/tests/data/real/*.wav"))
+        fake = sorted(glob.glob(f"{SAMPLES}/[BD]_*.wav"))[:2]
+        if not snaps or not real or not fake:
+            pytest.skip("bundled reference artifacts unavailable")
+        from audiodeepfake_detection_tpu.train.predict import (
+            build_scorer_from_snapshot,
+            score_files,
+        )
+
+        model, transform, variables, cfg = build_scorer_from_snapshot(
+            snaps[0], expect_self_norm=True
+        )
+        common = dict(
+            sample_rate=int(cfg.sample_rate), seconds=float(cfg.seconds),
+            batch_size=16, self_norm=True, output="margin",
+        )
+        ref = score_files(model, transform, variables, real + fake, **common)
+        q = score_files(
+            model, transform, variables, real + fake, int8=True, **common
+        )
+        for p in real:
+            assert q[p] < -2.0, (p, q[p])
+        for p in fake:
+            assert q[p] > 2.0, (p, q[p])
+        for p in real + fake:
+            assert abs(q[p] - ref[p]) < 1.5, (p, q[p], ref[p])
+
+    def test_int8_rejects_non_dcnn(self):
+        real = sorted(glob.glob("/root/reference/tests/data/real/*.wav"))
+        if not real:
+            pytest.skip("bundled reference artifacts unavailable")
+        from audiodeepfake_detection_tpu.models import LCNN
+        from audiodeepfake_detection_tpu.train.predict import score_files
+
+        with pytest.raises(ValueError, match="DCNN and AST families"):
+            score_files(
+                LCNN(lstm_channels=256), lambda a: a, {}, real[:1], int8=True
+            )

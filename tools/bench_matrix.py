@@ -157,9 +157,16 @@ def main() -> None:
         wpt_transform,
         "packets-sym5 + DCNN bf16 eval",
     )
+    # post-training int8: convs run s8xs8->s32 on the MXU (ops/quantize.py)
+    bench_eval(
+        DCNN(time_dim=12, fused_layer1=True, **fast),
+        wpt_transform,
+        "packets-sym5 + DCNN int8 eval",
+        quantize=True,
+    )
 
 
-def bench_eval(model, transform, tag, steps=50):
+def bench_eval(model, transform, tag, steps=50, quantize=False):
     import jax
     import jax.numpy as jnp
 
@@ -177,6 +184,13 @@ def bench_eval(model, transform, tag, steps=50):
     }
     img = transform(jnp.asarray(batch["audio"][:16]))
     state = create_train_state(model, make_optimizer(4e-4, 1e-3), img, seed=0)
+    if quantize:
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_dcnn
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model, _ = quantize_dcnn(
+            model, variables, [transform(jnp.asarray(batch["audio"]))]
+        )
     eval_step = make_eval_step(model, transform)
     dbatch = jax.device_put(batch)
     res = eval_step(state.params, state.batch_stats, dbatch)
