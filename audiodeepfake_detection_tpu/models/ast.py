@@ -110,17 +110,9 @@ class _Block(nn.Module):
 
     def _q(self, name: str, x: jnp.ndarray):
         """Calibration sow / calibrated activation scale for one site."""
-        if self.quant == "calibrate":
-            from ..ops.quantize import absmax_sow
+        from ..ops.quantize import site_scale
 
-            absmax_sow(self, name, x)
-            return None
-        from collections.abc import Mapping
-
-        if isinstance(self.quant, Mapping):
-            v = self.quant.get(name)
-            return None if v is None else float(v)
-        return None
+        return site_scale(self, self.quant, name, x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -121,17 +121,9 @@ class DCNN(nn.Module):
 
         def _quant_site(mdl_x, conv_name):
             """Calibration sow / calibrated scale for one conv input."""
-            if self.quant == "calibrate":
-                from ..ops.quantize import absmax_sow
+            from ..ops.quantize import site_scale
 
-                absmax_sow(self, conv_name, mdl_x)
-                return None
-            from collections.abc import Mapping
-
-            if isinstance(self.quant, Mapping):  # flax freezes dict attrs
-                v = self.quant.get(conv_name)
-                return None if v is None else float(v)
-            return None
+            return site_scale(self, self.quant, conv_name, mdl_x)
 
         # [B, C, F, T] -> NHWC [B, T, F, C] (reference permutes F/T then runs
         # NCHW; same arrangement, channel-last).

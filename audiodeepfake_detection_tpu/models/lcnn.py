@@ -44,6 +44,12 @@ class LCNN(nn.Module):
     # The reference hardcodes Dropout(0.7) (models.py:113); a knob with the
     # same default lets deterministic parity tests zero it on both sides.
     dropout: float = 0.7
+    # Post-training int8 quantization (inference only, ops/quantize.py):
+    # "calibrate" records each conv input's absmax into the "quant_obs"
+    # collection; a {conv_name: act_scale} dict runs those convs as
+    # s8xs8->s32 MXU ops.  The BLSTM and fc head stay in the working
+    # dtype.  Requires fold_bn and train=False (same contract as DCNN).
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -57,6 +63,23 @@ class LCNN(nn.Module):
             from .layers import Conv2d as _C
 
             return _C(*a, precision=prec, dtype=self.dtype, **k)
+
+        if self.quant is not None:
+            if train:
+                raise ValueError(
+                    "quant is inference-only (int8 rounding has no gradient);"
+                    " call with train=False"
+                )
+            if not self.fold_bn:
+                raise ValueError(
+                    "quant requires fold_bn=True: BatchNorm folds into the"
+                    " quantized conv weights"
+                )
+
+        def _quant_site(mdl_x, conv_name):
+            from ..ops.quantize import site_scale
+
+            return site_scale(self, self.quant, conv_name, mdl_x)
 
         # [B, C, F, T] -> permute F/T (reference models.py:125) -> NHWC
         x = jnp.transpose(x, (0, 3, 2, 1))  # [B, T, F, C]
@@ -72,9 +95,25 @@ class LCNN(nn.Module):
                     bn_name=bn_name, conv_name=conv_name, affine=False,
                     features=feat, kernel_size=k, padding=padding,
                     precision=prec,
+                    act_scale=_quant_site(x, conv_name),
                 )
             x = BatchNorm(affine=False, name=bn_name)(x, train)
             return Conv2d(feat, k, padding=padding, name=conv_name)(x)
+
+        def plain_conv(x, feat, k, padding, name):
+            """The two un-normalized 1x1 convs, int8-capable."""
+            scale = _quant_site(x, name)
+            if scale is not None:
+                from ..ops.quantize import quantized_conv
+
+                kernel, bias = ConvScope(
+                    (k, k, x.shape[-1], feat), name=name
+                )()
+                return quantized_conv(
+                    x, kernel.astype(jnp.float32), scale, padding,
+                    out_dtype=x.dtype,
+                ) + bias.astype(x.dtype)
+            return Conv2d(feat, k, padding=padding, name=name)(x)
 
         from .layers import ConvScope
 
@@ -112,12 +151,21 @@ class LCNN(nn.Module):
             # full output-gradient tensor; see ops/first_conv.py)
             from ..ops.first_conv import first_conv
 
-            x = first_conv(
-                x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
-            )
+            scale0 = _quant_site(x, "lcnn_0")
+            if scale0 is not None:
+                from ..ops.quantize import quantized_conv
+
+                x = quantized_conv(
+                    x, kernel.astype(jnp.float32), scale0, 2,
+                    out_dtype=x.dtype,
+                ) + bias.astype(x.dtype)
+            else:
+                x = first_conv(
+                    x, kernel.astype(x.dtype), bias.astype(x.dtype), 2, prec
+                )
             x = max_feature_map_2d(x)
             x = max_pool_2x2(x)
-        x = Conv2d(64, 1, padding=0, name="lcnn_3")(x)
+        x = plain_conv(x, 64, 1, 0, "lcnn_3")
         x = max_feature_map_2d(x)
         x = bn_conv(x, "lcnn_5", "lcnn_6", 96, 3, 1)
         x = max_feature_map_2d(x)
@@ -127,7 +175,7 @@ class LCNN(nn.Module):
         x = bn_conv(x, "lcnn_12", "lcnn_13", 128, 3, 1)
         x = max_feature_map_2d(x)
         x = max_pool_2x2(x)
-        x = Conv2d(128, 1, padding=0, name="lcnn_16")(x)
+        x = plain_conv(x, 128, 1, 0, "lcnn_16")
         x = max_feature_map_2d(x)
         x = bn_conv(x, "lcnn_18", "lcnn_19", 64, 3, 1)
         x = max_feature_map_2d(x)

@@ -160,6 +160,24 @@ def _site_name(sown: str) -> str:
     return sown[:-3] if sown.endswith("_in") else sown
 
 
+def site_scale(mdl, quant, name: str, x: jnp.ndarray):
+    """Per-site dispatch shared by the quantizable models.
+
+    ``quant == "calibrate"``: sow ``absmax(x)`` for this site and return
+    None (fp path runs).  ``quant`` a mapping: return the calibrated float
+    scale for ``name`` (int8 path) or None if the site is not included.
+    """
+    if quant == "calibrate":
+        absmax_sow(mdl, name, x)
+        return None
+    from collections.abc import Mapping
+
+    if isinstance(quant, Mapping):
+        v = quant.get(name)
+        return None if v is None else float(v)
+    return None
+
+
 def scales_from_observations(obs: dict, margin: float = 1.0) -> dict:
     """Turn a ``quant_obs`` collection into ``{conv_name: act_scale}``.
 

@@ -104,10 +104,11 @@ def score_files(
 
         if not hasattr(model, "quant"):
             raise ValueError(
-                "int8 scoring supports the DCNN and AST families only "
-                f"(got {type(model).__name__})"
+                "int8 scoring supports the DCNN, LCNN and AST families "
+                f"only (got {type(model).__name__})"
             )
         # DCNN: the six front convs (dilated block + head stay fp);
+        # LCNN: all nine convs (BLSTM + fc stay fp);
         # AST: every block Dense layer (~94% of the forward FLOPs)
         from ..models.dcnn import DCNN
 

@@ -136,6 +136,58 @@ class TestDCNNQuant:
 
 
 @pytest.fixture(scope="module")
+def small_lcnn():
+    from audiodeepfake_detection_tpu.models import LCNN
+
+    model = LCNN(lstm_channels=256)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(2, 1, 256, 101).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), img, train=False
+    )
+    return model, variables, img
+
+
+class TestLCNNQuant:
+    LCNN_SITES = {
+        "lcnn_0", "lcnn_3", "lcnn_6", "lcnn_10", "lcnn_13",
+        "lcnn_16", "lcnn_19", "lcnn_22", "lcnn_25",
+    }
+
+    def test_calibration_observes_all_conv_sites(self, small_lcnn):
+        from audiodeepfake_detection_tpu.ops.quantize import calibrate_model
+
+        model, variables, img = small_lcnn
+        scales = calibrate_model(model, variables, [img])
+        assert set(scales) == self.LCNN_SITES
+        assert all(v > 0 for v in scales.values())
+
+    def test_quantized_logits_close_and_argmax_stable(self, small_lcnn):
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = small_lcnn
+        ref = model.apply(variables, img, train=False)
+        qmodel, _ = quantize_model(model, variables, [img])
+        out = qmodel.apply(variables, img, train=False)  # same variables
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert err < 0.1 * scale, (err, scale)
+        assert bool(jnp.all(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
+
+    def test_quant_rejects_train(self, small_lcnn):
+        from audiodeepfake_detection_tpu.ops.quantize import quantize_model
+
+        model, variables, img = small_lcnn
+        qmodel, _ = quantize_model(model, variables, [img])
+        with pytest.raises(ValueError, match="inference-only"):
+            qmodel.apply(
+                variables, img, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+
+
+@pytest.fixture(scope="module")
 def tiny_ast():
     from audiodeepfake_detection_tpu.models.ast import ASTModel
 
@@ -287,14 +339,14 @@ class TestBundledCheckpointInt8:
         for p in real + fake:
             assert abs(q[p] - ref[p]) < 1.5, (p, q[p], ref[p])
 
-    def test_int8_rejects_non_dcnn(self):
+    def test_int8_rejects_unsupported_model(self):
         real = sorted(glob.glob("/root/reference/tests/data/real/*.wav"))
         if not real:
             pytest.skip("bundled reference artifacts unavailable")
-        from audiodeepfake_detection_tpu.models import LCNN
+        from audiodeepfake_detection_tpu.models.regression import Regression
         from audiodeepfake_detection_tpu.train.predict import score_files
 
-        with pytest.raises(ValueError, match="DCNN and AST families"):
+        with pytest.raises(ValueError, match="families"):
             score_files(
-                LCNN(lstm_channels=256), lambda a: a, {}, real[:1], int8=True
+                Regression(), lambda a: a, {}, real[:1], int8=True
             )
