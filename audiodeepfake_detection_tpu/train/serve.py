@@ -1,0 +1,440 @@
+"""HTTP scoring microservice with cross-request micro-batching.
+
+Production serving front-end the reference has no analogue for (its
+closest mode is ``--only-testing`` over a prepared dataset,
+src/audiofakedetect/train_classifier.py:1043-1076): a trained snapshot
+becomes a long-lived HTTP endpoint that scores raw wav/flac uploads.
+
+TPU-shaped design:
+
+* ONE jitted scorer at a fixed batch size — XLA compiles once at startup
+  (warm-up dispatch) and never recompiles, because every dispatch is
+  padded to the same static ``[B, 1, T]`` shape.
+* cross-request micro-batching: concurrent HTTP requests land in one
+  queue; a single dispatcher thread coalesces their frames (up to
+  ``batch_size``, waiting at most ``max_wait_ms`` for stragglers) into
+  shared device batches, so the MXU sees large batches even when each
+  client sends one short clip.  One device, one dispatch stream — no
+  per-request ``jit`` traffic jams.
+* decode/framing/resampling run host-side in the HTTP worker threads
+  (the C++ decoder releases the GIL), overlapping the device dispatches.
+
+Endpoints::
+
+    POST /score[?aggregate=mean|max]   body = wav or flac bytes
+        -> {"p_fake": float, "frames": int, "frame_scores": [float, ...]}
+    GET  /healthz
+        -> {"status": "ok", "model": ..., "batch_size": ..., ...}
+
+CLI::
+
+    python -m audiodeepfake_detection_tpu.train.serve snapshot.pt \
+        --port 8417 [--norm stats.pkl | --mean .. --std ..] \
+        [--int8 --calibrate clips_dir] [--batch-size 64] [--max-wait-ms 5]
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    frames: np.ndarray  # [n, win] float32
+    aggregate: str
+    future: Future = field(default_factory=Future)
+
+
+class ScoringService:
+    """Micro-batching scorer: many concurrent clips, one dispatch stream.
+
+    Usable directly (``submit`` / ``score_clip``) or behind the HTTP
+    front-end (``serve``).  ``start``/``stop`` manage the dispatcher
+    thread; the constructor compiles and warms the jitted scorer so the
+    first real request never pays the compile.
+    """
+
+    def __init__(
+        self,
+        model,
+        transform: Callable,
+        variables,
+        sample_rate: int = 22050,
+        seconds: float = 1.0,
+        batch_size: int = 64,
+        max_wait_ms: float = 5.0,
+        output: str = "prob",
+        warmup: bool = True,
+    ) -> None:
+        import jax.numpy as jnp
+
+        from .predict import make_score_fn
+
+        self.sample_rate = int(sample_rate)
+        self.win = int(seconds * sample_rate)
+        self.batch_size = int(batch_size)
+        self.max_wait_ms = float(max_wait_ms)
+        self._score = make_score_fn(model, transform, variables, output=output)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = object()
+        self.model_name = type(model).__name__
+        self.n_scored = 0
+        self.n_dispatches = 0
+        if warmup:  # compile the one static shape before serving traffic
+            self._score(
+                jnp.zeros((self.batch_size, 1, self.win), jnp.float32)
+            ).block_until_ready()
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> "ScoringService":
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._dispatch_loop, daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._queue.put(self._stop)
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self) -> "ScoringService":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ------------------------------------------------------------- scoring
+
+    def frame_clip(self, audio: np.ndarray, in_rate: int) -> np.ndarray:
+        """Resample + cut a 1-D clip into ``[n, win]`` scoring frames."""
+        from ..ops.audio import resample
+
+        if in_rate > self.sample_rate:
+            audio = resample(audio, in_rate, self.sample_rate)
+        elif in_rate < self.sample_rate:
+            raise ValueError(
+                f"clip sample rate {in_rate} < service rate "
+                f"{self.sample_rate}; no upsampling here"
+            )
+        n = len(audio) // self.win
+        if n == 0:
+            raise ValueError(
+                f"clip shorter than one {self.win}-sample frame"
+            )
+        return np.asarray(
+            audio[: n * self.win], np.float32
+        ).reshape(n, self.win)
+
+    def submit(self, frames: np.ndarray, aggregate: str = "mean") -> Future:
+        """Queue pre-framed audio ``[n, win]``; resolves to the clip score.
+
+        The future's result is ``(clip_score, frame_scores)``.
+        """
+        frames = np.ascontiguousarray(frames, np.float32)
+        if frames.ndim != 2 or frames.shape[1] != self.win:
+            raise ValueError(
+                f"expected [n, {self.win}] frames, got {frames.shape}"
+            )
+        if aggregate not in ("mean", "max"):
+            raise ValueError(f"aggregate must be mean or max: {aggregate}")
+        if self._thread is None:
+            raise RuntimeError("service not started (call start())")
+        req = _Request(frames, aggregate)
+        self._queue.put(req)
+        return req.future
+
+    def score_clip(
+        self, audio: np.ndarray, in_rate: int, aggregate: str = "mean"
+    ):
+        """Blocking decode-side entry: 1-D clip -> (score, frame_scores)."""
+        return self.submit(self.frame_clip(audio, in_rate), aggregate).result()
+
+    # ------------------------------------------------------------ dispatcher
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for one request, then coalesce stragglers.
+
+        Keeps pulling until the pending frame count reaches one device
+        batch or ``max_wait_ms`` passes — the classic serving
+        micro-batcher.  Returns None on shutdown.
+        """
+        import time
+
+        first = self._queue.get()
+        if first is self._stop:
+            return None
+        pending = [first]
+        n = len(first.frames)
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while n < self.batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is self._stop:
+                self._queue.put(self._stop)  # re-queue for the outer loop
+                break
+            pending.append(nxt)
+            n += len(nxt.frames)
+        return pending
+
+    def _dispatch_loop(self) -> None:
+        import jax.numpy as jnp
+
+        while True:
+            pending = self._collect()
+            if pending is None:
+                return
+            frames = np.concatenate([r.frames for r in pending])
+            scores = np.empty(len(frames), np.float32)
+            for s in range(0, len(frames), self.batch_size):
+                chunk = frames[s : s + self.batch_size]
+                batch = np.zeros(
+                    (self.batch_size, 1, self.win), np.float32
+                )  # pad to THE static shape: zero recompiles by construction
+                batch[: len(chunk), 0] = chunk
+                out = np.asarray(self._score(jnp.asarray(batch)))
+                scores[s : s + len(chunk)] = out[: len(chunk)]
+                self.n_dispatches += 1
+            off = 0
+            for req in pending:
+                fs = scores[off : off + len(req.frames)]
+                off += len(req.frames)
+                agg = float(fs.max() if req.aggregate == "max" else fs.mean())
+                req.future.set_result((agg, fs.copy()))
+                self.n_scored += len(req.frames)
+
+    # ----------------------------------------------------------------- http
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8417):
+        """Run the HTTP front-end (blocking).  Returns the server object
+        when constructed with ``port=0`` via :meth:`make_server`."""
+        server = self.make_server(host, port)
+        print(
+            f"serving {self.model_name} on http://{host}:{server.server_port}"
+            f"  (batch {self.batch_size}, frame {self.win} samples)"
+        )
+        try:
+            server.serve_forever()
+        finally:
+            server.server_close()
+
+    def make_server(self, host: str = "127.0.0.1", port: int = 0):
+        """Build (don't run) the threaded HTTP server — test hook."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: one line per request is noise
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.split("?")[0] != "/healthz":
+                    return self._reply(404, {"error": "unknown path"})
+                self._reply(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": service.model_name,
+                        "batch_size": service.batch_size,
+                        "sample_rate": service.sample_rate,
+                        "frame_samples": service.win,
+                        "frames_scored": service.n_scored,
+                        "dispatches": service.n_dispatches,
+                    },
+                )
+
+            def do_POST(self):
+                import urllib.parse
+
+                path, _, query = self.path.partition("?")
+                if path != "/score":
+                    return self._reply(404, {"error": "unknown path"})
+                params = urllib.parse.parse_qs(query)
+                aggregate = params.get("aggregate", ["mean"])[0]
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0:
+                        raise ValueError("empty body (expected audio bytes)")
+                    raw = self.rfile.read(length)
+                    frames = service._decode_upload(raw)
+                    score, frame_scores = service.submit(
+                        frames, aggregate
+                    ).result()
+                except ValueError as exc:
+                    return self._reply(400, {"error": str(exc)})
+                self._reply(
+                    200,
+                    {
+                        "p_fake": score,
+                        "frames": len(frame_scores),
+                        "frame_scores": [float(x) for x in frame_scores],
+                        "aggregate": aggregate,
+                    },
+                )
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def _decode_upload(self, raw: bytes) -> np.ndarray:
+        """Decode an uploaded wav/flac body into scoring frames."""
+        import os
+        import tempfile
+
+        from ..data.wavio import audio_read
+
+        if raw[:4] == b"RIFF":
+            suffix = ".wav"
+        elif raw[:4] == b"fLaC":
+            suffix = ".flac"
+        else:
+            raise ValueError(
+                "unrecognized audio container (expected RIFF/WAVE or fLaC)"
+            )
+        fd, path = tempfile.mkstemp(suffix=suffix)
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(raw)
+            try:
+                audio, rate = audio_read(path)
+            except Exception as exc:  # corrupt body: client error, not 500
+                raise ValueError(f"undecodable audio: {exc}") from exc
+            return self.frame_clip(audio, rate)
+        finally:
+            os.unlink(path)
+
+
+def service_from_snapshot(
+    snapshot: str,
+    norm: Optional[str] = None,
+    mean=None,
+    std=None,
+    batch_size: int = 64,
+    max_wait_ms: float = 5.0,
+    int8: bool = False,
+    calibrate: Sequence[str] = (),
+    use_pallas: Optional[bool] = None,
+    output: str = "prob",
+) -> ScoringService:
+    """Build a ready-to-start service from a config-encoded ``.pt``.
+
+    ``int8`` quantizes post-training (ops/quantize.py) with activation
+    scales calibrated on ``calibrate`` (files/dirs) through the SAME
+    normalized transform the service scores with.
+    """
+    import jax.numpy as jnp
+
+    from .predict import _expand_inputs, build_scorer_from_snapshot
+
+    model, transform, variables, cfg = build_scorer_from_snapshot(
+        snapshot, norm=norm, mean=mean, std=std, use_pallas=use_pallas
+    )
+    sr, sec = int(cfg.sample_rate), float(cfg.seconds)
+    if int8:
+        from ..data.wavio import audio_read
+        from ..models.dcnn import DCNN
+        from ..ops.audio import resample
+        from ..ops.quantize import DEFAULT_INT8_SITES, quantize_model
+
+        paths = _expand_inputs(list(calibrate))
+        if not paths:
+            raise ValueError("--int8 needs --calibrate files/dirs")
+        win = int(sr * sec)
+        frames: List[np.ndarray] = []
+        for p in paths:
+            audio, in_sr = audio_read(p)
+            if in_sr > sr:
+                audio = resample(audio, in_sr, sr)
+            for i in range(len(audio) // win):
+                frames.append(audio[i * win : (i + 1) * win])
+        if not frames:
+            raise ValueError("calibration clips shorter than one frame")
+
+        def _calib_images(max_batches: int = 4):
+            for s in range(
+                0, min(len(frames), max_batches * batch_size), batch_size
+            ):
+                chunk = np.stack(frames[s : s + batch_size])
+                yield transform(jnp.asarray(chunk[:, None, :]))
+
+        include = DEFAULT_INT8_SITES if isinstance(model, DCNN) else None
+        model, _ = quantize_model(
+            model, variables, _calib_images(), include=include
+        )
+    return ScoringService(
+        model,
+        transform,
+        variables,
+        sample_rate=sr,
+        seconds=sec,
+        batch_size=batch_size,
+        max_wait_ms=max_wait_ms,
+        output=output,
+    )
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Serve a trained deepfake detector over HTTP"
+    )
+    parser.add_argument("snapshot", help=".pt snapshot (config-encoded name)")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8417)
+    parser.add_argument("--norm", default=None, help="*_mean_std.pkl")
+    parser.add_argument("--mean", type=float, nargs="+", default=None)
+    parser.add_argument("--std", type=float, nargs="+", default=None)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument(
+        "--max-wait-ms", type=float, default=5.0,
+        help="micro-batcher straggler wait",
+    )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="post-training int8 (requires --calibrate)",
+    )
+    parser.add_argument(
+        "--calibrate", nargs="+", default=[],
+        help="clips/dirs for int8 activation calibration",
+    )
+    args = parser.parse_args(argv)
+    service = service_from_snapshot(
+        args.snapshot,
+        norm=args.norm,
+        mean=args.mean,
+        std=args.std,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+        int8=args.int8,
+        calibrate=args.calibrate,
+    )
+    with service:
+        service.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
