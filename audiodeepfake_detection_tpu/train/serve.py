@@ -72,6 +72,8 @@ class ScoringService:
         max_wait_ms: float = 5.0,
         output: str = "prob",
         warmup: bool = True,
+        max_body_bytes: int = 64 << 20,
+        request_timeout_s: float = 120.0,
     ) -> None:
         import jax.numpy as jnp
 
@@ -81,6 +83,8 @@ class ScoringService:
         self.win = int(seconds * sample_rate)
         self.batch_size = int(batch_size)
         self.max_wait_ms = float(max_wait_ms)
+        self.max_body_bytes = int(max_body_bytes)
+        self.request_timeout_s = float(request_timeout_s)
         self._score = make_score_fn(model, transform, variables, output=output)
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -147,6 +151,8 @@ class ScoringService:
             raise ValueError(
                 f"expected [n, {self.win}] frames, got {frames.shape}"
             )
+        if frames.shape[0] == 0:  # empty slice would mean() to NaN p_fake
+            raise ValueError("no frames to score (empty clip)")
         if aggregate not in ("mean", "max"):
             raise ValueError(f"aggregate must be mean or max: {aggregate}")
         if self._thread is None:
@@ -200,17 +206,27 @@ class ScoringService:
             pending = self._collect()
             if pending is None:
                 return
-            frames = np.concatenate([r.frames for r in pending])
-            scores = np.empty(len(frames), np.float32)
-            for s in range(0, len(frames), self.batch_size):
-                chunk = frames[s : s + self.batch_size]
-                batch = np.zeros(
-                    (self.batch_size, 1, self.win), np.float32
-                )  # pad to THE static shape: zero recompiles by construction
-                batch[: len(chunk), 0] = chunk
-                out = np.asarray(self._score(jnp.asarray(batch)))
-                scores[s : s + len(chunk)] = out[: len(chunk)]
-                self.n_dispatches += 1
+            # The loop must survive any per-batch failure (transient relay
+            # error, device OOM): fail THESE requests, keep serving the next
+            # — a dead daemon dispatcher would leave every future pending
+            # forever while /healthz still answered ok.
+            try:
+                frames = np.concatenate([r.frames for r in pending])
+                scores = np.empty(len(frames), np.float32)
+                for s in range(0, len(frames), self.batch_size):
+                    chunk = frames[s : s + self.batch_size]
+                    batch = np.zeros(
+                        (self.batch_size, 1, self.win), np.float32
+                    )  # pad to THE static shape: zero recompiles by construction
+                    batch[: len(chunk), 0] = chunk
+                    out = np.asarray(self._score(jnp.asarray(batch)))
+                    scores[s : s + len(chunk)] = out[: len(chunk)]
+                    self.n_dispatches += 1
+            except Exception as exc:
+                for req in pending:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+                continue
             off = 0
             for req in pending:
                 fs = scores[off : off + len(req.frames)]
@@ -221,9 +237,9 @@ class ScoringService:
 
     # ----------------------------------------------------------------- http
 
-    def serve(self, host: str = "127.0.0.1", port: int = 8417):
-        """Run the HTTP front-end (blocking).  Returns the server object
-        when constructed with ``port=0`` via :meth:`make_server`."""
+    def serve(self, host: str = "127.0.0.1", port: int = 8417) -> None:
+        """Run the HTTP front-end (blocking; ``make_server`` is the
+        non-blocking variant used by tests/embedders)."""
         server = self.make_server(host, port)
         print(
             f"serving {self.model_name} on http://{host}:{server.server_port}"
@@ -280,13 +296,25 @@ class ScoringService:
                     length = int(self.headers.get("Content-Length", 0))
                     if length <= 0:
                         raise ValueError("empty body (expected audio bytes)")
+                    if length > service.max_body_bytes:
+                        return self._reply(
+                            413,
+                            {
+                                "error": "body too large "
+                                f"({length} > {service.max_body_bytes} bytes)"
+                            },
+                        )
                     raw = self.rfile.read(length)
                     frames = service._decode_upload(raw)
                     score, frame_scores = service.submit(
                         frames, aggregate
-                    ).result()
+                    ).result(timeout=service.request_timeout_s)
                 except ValueError as exc:
                     return self._reply(400, {"error": str(exc)})
+                except Exception as exc:  # dispatch failure / timeout: 5xx
+                    return self._reply(
+                        503, {"error": f"scoring failed: {exc}"}
+                    )
                 self._reply(
                     200,
                     {
@@ -421,6 +449,18 @@ def main(argv=None) -> None:
         "--calibrate", nargs="+", default=[],
         help="clips/dirs for int8 activation calibration",
     )
+    parser.add_argument(
+        "--output", default="prob", choices=("prob", "margin"),
+        help="score head (see predict.make_score_fn)",
+    )
+    parser.add_argument(
+        "--use-pallas", dest="use_pallas", action="store_true", default=None,
+        help="force the fused Pallas transform path",
+    )
+    parser.add_argument(
+        "--no-pallas", dest="use_pallas", action="store_false",
+        help="force the XLA transform path",
+    )
     args = parser.parse_args(argv)
     service = service_from_snapshot(
         args.snapshot,
@@ -431,6 +471,8 @@ def main(argv=None) -> None:
         max_wait_ms=args.max_wait_ms,
         int8=args.int8,
         calibrate=args.calibrate,
+        use_pallas=args.use_pallas,
+        output=args.output,
     )
     with service:
         service.serve(args.host, args.port)

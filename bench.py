@@ -29,6 +29,7 @@ T = 22050
 WAVELET = "sym5"
 LEVEL = 8
 STEPS = 100
+WINDOWS = 3  # independent timed windows; report median (relay-load-proof)
 
 
 def measure_tpu():
@@ -73,12 +74,22 @@ def measure_tpu():
     dbatch = jax.device_put(batch)
     state, stats = step(state, dbatch)
     float(stats["loss"])  # warmup + compile
-    t0 = time.time()
-    for _ in range(STEPS):
-        state, stats = step(state, dbatch)
-    float(stats["loss"])  # force completion of the chain
-    dt = time.time() - t0
-    step_s = dt / STEPS
+
+    # WINDOWS independent timed windows (round-4 verdict weak #1): a single
+    # 100-step sample is hostage to one relay-load draw — r4's driver number
+    # (13.10 ms) disagreed with every interactive measurement (12.4 ms) and
+    # the protocol could not say whether code or relay regressed.  Median of
+    # >=3 fresh dispatch chains, with min + spread in the JSON, makes the
+    # driver metric adjudicable.  Each window ends with a VALUE fetch
+    # (CLAUDE.md: the relay's block_until_ready can return early).
+    window_s = []
+    for _ in range(WINDOWS):
+        t0 = time.time()
+        for _ in range(STEPS):
+            state, stats = step(state, dbatch)
+        float(stats["loss"])  # force completion of the chain
+        window_s.append((time.time() - t0) / STEPS)
+    step_s = float(np.median(window_s))
 
     # Efficiency, not just throughput (round-3 verdict weak #7): achieved
     # HBM bandwidth / MFU so the driver-captured JSON catches efficiency
@@ -105,7 +116,12 @@ def measure_tpu():
             eff["mfu"] = cost["xla_flops"] / step_s / 197e12
     except Exception:
         pass
-    return STEPS * BATCH / dt, step_s, eff
+    eff["step_ms_min"] = min(window_s) * 1e3
+    eff["step_ms_windows"] = [round(s * 1e3, 3) for s in window_s]
+    eff["window_spread_pct"] = (
+        (max(window_s) - min(window_s)) / step_s * 100.0
+    )
+    return BATCH / step_s, step_s, eff
 
 
 def measure_end_to_end(
@@ -433,7 +449,10 @@ def main() -> None:
         "step_ms": round(step_s * 1e3, 3),
     }
     for k, v in eff.items():
-        payload[k] = round(v, 4) if v < 1e6 else round(v)
+        if isinstance(v, list):
+            payload[k] = v
+        else:
+            payload[k] = round(v, 4) if v < 1e6 else round(v)
     print(json.dumps(payload))
 
 
