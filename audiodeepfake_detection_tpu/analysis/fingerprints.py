@@ -31,17 +31,48 @@ def mean_wpt_spectrum(
     clips: Sequence[np.ndarray],
     wavelet: str = "haar",
     level: int = 14,
+    mesh=None,
+    axis: str = "data",
 ) -> np.ndarray:
-    """Mean |WPT| spectrum over clips: mean over time and clips -> [2**level]."""
+    """Mean |WPT| spectrum over clips: mean over time and clips -> [2**level].
+
+    ``mesh``: a ``jax.sharding.Mesh`` — shards the time axis of each clip
+    over the mesh and runs the sequence-parallel cascade
+    (``parallel/sequence.py``), the design point of SP-WPT: a level-14
+    packet transform over a full multi-second recording exceeds what one
+    chip should chew serially.  Clips are cropped to the SP alignment
+    (``shards * 2**level``); a clip too short for the sharded cascade
+    falls back to the dense single-device transform (identical numerics —
+    the two are equality-tested in tests/test_parallel.py).
+    """
     import jax.numpy as jnp
+
+    from ..ops.wavelets import get_wavelet
+
+    shards = int(mesh.shape[axis]) if mesh is not None else 1
+    filt_len = len(get_wavelet(wavelet).dec_lo)
+    padl = (2 * filt_len - 3) // 2
+    if mesh is not None:
+        from ..parallel.sequence import sp_wpt_analysis
 
     acc: Optional[np.ndarray] = None
     count = 0
     for clip in clips:
-        t = (len(clip) >> level) << level
-        if t == 0:
-            continue
-        wp = wpt_analysis(jnp.asarray(clip[None, :t], jnp.float32), wavelet, level)
+        block = shards << level
+        t_sp = (len(clip) // block) * block
+        # SP needs per-shard interiors longer than the filter overhang
+        if mesh is not None and t_sp and 2 * (t_sp // block) >= padl + 1:
+            wp = sp_wpt_analysis(
+                jnp.asarray(clip[None, :t_sp], jnp.float32),
+                wavelet, level, mesh, axis,
+            )
+        else:
+            t = (len(clip) >> level) << level
+            if t == 0:
+                continue
+            wp = wpt_analysis(
+                jnp.asarray(clip[None, :t], jnp.float32), wavelet, level
+            )
         spec = np.abs(np.asarray(wp[0])).mean(-1)
         acc = spec if acc is None else acc + spec
         count += 1
@@ -87,19 +118,24 @@ def generator_fingerprints(
     wavelet: str = "haar",
     level: int = 14,
     max_files: int = 128,
+    mesh=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Per-generator mean spectra and differences against the real corpus."""
+    """Per-generator mean spectra and differences against the real corpus.
+
+    ``mesh`` shards each clip's time axis for the deep WPT (see
+    :func:`mean_wpt_spectrum`).
+    """
     dirs = {d.split("_")[-1]: d for d in os.listdir(data_path)}
     out: Dict[str, Dict[str, np.ndarray]] = {}
     real_clips = load_clips(os.path.join(data_path, dirs[real_name]), max_files)
-    real_wpt = mean_wpt_spectrum(real_clips, wavelet, level)
+    real_wpt = mean_wpt_spectrum(real_clips, wavelet, level, mesh=mesh)
     real_fft = mean_rfft_spectrum(real_clips)
     out[real_name] = {"wpt": real_wpt, "rfft": real_fft}
     for gen in generators:
         if gen == real_name:
             continue
         clips = load_clips(os.path.join(data_path, dirs[gen]), max_files)
-        wpt = mean_wpt_spectrum(clips, wavelet, level)
+        wpt = mean_wpt_spectrum(clips, wavelet, level, mesh=mesh)
         fft = mean_rfft_spectrum(clips)
         out[gen] = {
             "wpt": wpt,

@@ -147,7 +147,17 @@ def sp_wpt_analysis(
         for _ in range(level):
             y = _sp_dwt_level(y, kernel, axis, m, g, shards)
             m, g = m // 2, (g + filt_len - 1) // 2
-        return y[..., :m], y[..., m:]
+        tail = y[..., m:]
+        if tail.shape[-1]:
+            # replicate ONLY the last shard's tail (the true global
+            # boundary): a psum of a masked <=L-2-column block over ICI,
+            # instead of gathering every shard's garbage tail and slicing
+            idx = jax.lax.axis_index(axis)
+            size = jax.lax.axis_size(axis)
+            tail = jax.lax.psum(
+                jnp.where(idx == size - 1, tail, jnp.zeros_like(tail)), axis
+            )
+        return y[..., :m], tail
 
     from jax import shard_map
 
@@ -155,14 +165,13 @@ def sp_wpt_analysis(
         local_cascade,
         mesh=mesh,
         in_specs=P(None, axis),
-        out_specs=(P(None, None, axis), P(None, None, axis)),
+        out_specs=(P(None, None, axis), P(None, None, None)),
         check_vma=False,
     )
-    interior, tails = fn(x)
-    tail_len = tails.shape[-1] // shards
-    if tail_len:
-        # only the LAST shard's tail block is the true global boundary
-        y = jnp.concatenate([interior, tails[..., -tail_len:]], axis=-1)
-    else:
-        y = interior
+    interior, tail = fn(x)
+    y = (
+        jnp.concatenate([interior, tail], axis=-1)
+        if tail.shape[-1]
+        else interior
+    )
     return y[:, np.asarray(graycode_permutation(level)), :]
