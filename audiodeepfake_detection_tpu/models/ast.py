@@ -73,7 +73,11 @@ class _Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.quantize import quantized_dense
+        from ..ops.quantize import (
+            dense_int8_weights,
+            quantized_dense,
+            site_baked,
+        )
 
         kernel = self.param(
             "kernel",
@@ -81,7 +85,12 @@ class _Int8Dense(nn.Module):
             (x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = quantized_dense(x, kernel, self.act_scale, out_dtype=x.dtype)
+        # baked int8 weights (bake_int8_weights): the serving forward reads
+        # the int8 kernel from HBM and never touches the fp master
+        baked = site_baked(self, "w", lambda: dense_int8_weights(kernel))
+        y = quantized_dense(
+            x, kernel, self.act_scale, out_dtype=x.dtype, baked=baked
+        )
         return y + bias.astype(x.dtype)
 
 

@@ -189,11 +189,18 @@ class DCNN(nn.Module):
             )()
             scale0 = _quant_site(x, "cnn_0")
             if scale0 is not None:
-                from ..ops.quantize import quantized_conv
+                from ..ops.quantize import (
+                    conv_int8_weights,
+                    quantized_conv,
+                    site_baked,
+                )
 
+                k32 = kernel.astype(jnp.float32)
+                baked = site_baked(
+                    self, "cnn_0", lambda: conv_int8_weights(k32)
+                )
                 x = quantized_conv(
-                    x, kernel.astype(jnp.float32), scale0, 2,
-                    out_dtype=x.dtype,
+                    x, k32, scale0, 2, out_dtype=x.dtype, baked=baked,
                 ) + bias.astype(x.dtype)
             else:
                 x = first_conv(
@@ -213,7 +220,7 @@ class DCNN(nn.Module):
                     bn_name=bn_name, conv_name=conv_name, affine=affine,
                     features=feat, kernel_size=k, padding=padding,
                     dilation=dilation, precision=prec, stats=stats,
-                    act_scale=_quant_site(x, conv_name),
+                    act_scale=_quant_site(x, conv_name), mdl=self,
                 )
             x = BatchNorm(affine=affine, name=bn_name)(x, train)
             return Conv2d(

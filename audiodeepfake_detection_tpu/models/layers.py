@@ -164,6 +164,7 @@ def folded_bn_conv(
     precision=None,
     stats=None,
     act_scale: Optional[float] = None,
+    mdl=None,
 ) -> jnp.ndarray:
     """``conv(BN(x))`` with the normalisation folded into the conv weights.
 
@@ -182,7 +183,9 @@ def folded_bn_conv(
     conv as s8xs8->s32 on the MXU (ops/quantize.py), dequantized with the
     per-output-channel weight scales.  Inference-only (the straight-through
     rounding has no gradient); the correction-map conv and bias stay in the
-    working dtype.
+    working dtype.  ``mdl``: the calling module — enables baked int8
+    weights for this site (``bake_int8_weights``), stored in the caller's
+    ``int8`` collection under ``<conv_name>_q8``.
     """
     s, t = BatchNormStats(affine=affine, name=bn_name)(x, train, stats)
     cin = x.shape[-1]
@@ -194,15 +197,23 @@ def folded_bn_conv(
     pad = [(padding, padding), (padding, padding)]
     dil = (dilation, dilation)
     if act_scale is not None:
-        from ..ops.quantize import quantized_conv
+        from ..ops.quantize import conv_int8_weights, quantized_conv, site_baked
 
         # fold in fp32 (weight quantization thresholds shouldn't inherit
         # working-dtype rounding), quantize per output channel in the op
         w_folded32 = kernel.astype(jnp.float32) * s.astype(jnp.float32)[
             None, None, :, None
         ]
+        # baked record (bake_int8_weights): fold+requantize happen once at
+        # bake time, not per dispatch; attaches to the CALLER's scope
+        baked = (
+            site_baked(mdl, conv_name, lambda: conv_int8_weights(w_folded32))
+            if mdl is not None
+            else None
+        )
         y = quantized_conv(
-            x, w_folded32, act_scale, pad, dilation, out_dtype=dt
+            x, w_folded32, act_scale, pad, dilation, out_dtype=dt,
+            baked=baked,
         )
     else:
         w_folded = (kernel * s[None, None, :, None]).astype(dt)

@@ -95,7 +95,7 @@ class LCNN(nn.Module):
                     bn_name=bn_name, conv_name=conv_name, affine=False,
                     features=feat, kernel_size=k, padding=padding,
                     precision=prec,
-                    act_scale=_quant_site(x, conv_name),
+                    act_scale=_quant_site(x, conv_name), mdl=self,
                 )
             x = BatchNorm(affine=False, name=bn_name)(x, train)
             return Conv2d(feat, k, padding=padding, name=conv_name)(x)
@@ -104,14 +104,21 @@ class LCNN(nn.Module):
             """The two un-normalized 1x1 convs, int8-capable."""
             scale = _quant_site(x, name)
             if scale is not None:
-                from ..ops.quantize import quantized_conv
+                from ..ops.quantize import (
+                    conv_int8_weights,
+                    quantized_conv,
+                    site_baked,
+                )
 
                 kernel, bias = ConvScope(
                     (k, k, x.shape[-1], feat), name=name
                 )()
+                k32 = kernel.astype(jnp.float32)
+                baked = site_baked(
+                    self, name, lambda k32=k32: conv_int8_weights(k32)
+                )
                 return quantized_conv(
-                    x, kernel.astype(jnp.float32), scale, padding,
-                    out_dtype=x.dtype,
+                    x, k32, scale, padding, out_dtype=x.dtype, baked=baked,
                 ) + bias.astype(x.dtype)
             return Conv2d(feat, k, padding=padding, name=name)(x)
 
@@ -153,11 +160,18 @@ class LCNN(nn.Module):
 
             scale0 = _quant_site(x, "lcnn_0")
             if scale0 is not None:
-                from ..ops.quantize import quantized_conv
+                from ..ops.quantize import (
+                    conv_int8_weights,
+                    quantized_conv,
+                    site_baked,
+                )
 
+                k32 = kernel.astype(jnp.float32)
+                baked = site_baked(
+                    self, "lcnn_0", lambda: conv_int8_weights(k32)
+                )
                 x = quantized_conv(
-                    x, kernel.astype(jnp.float32), scale0, 2,
-                    out_dtype=x.dtype,
+                    x, k32, scale0, 2, out_dtype=x.dtype, baked=baked,
                 ) + bias.astype(x.dtype)
             else:
                 x = first_conv(

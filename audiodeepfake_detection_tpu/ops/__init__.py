@@ -11,6 +11,7 @@ from .normalize import (  # noqa: F401
     welford_update,
 )
 from .quantize import (  # noqa: F401
+    bake_int8_weights,
     calibrate_dcnn,
     calibrate_model,
     quantize_dcnn,

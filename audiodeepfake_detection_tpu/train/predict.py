@@ -124,6 +124,13 @@ def score_files(
         model, _ = quantize_model(
             model, variables, _calib_images(), include=include
         )
+        # one-time weight quantization: the scorer reads int8 kernels from
+        # HBM instead of requantizing the fp masters every dispatch
+        from ..ops.quantize import bake_int8_weights
+
+        variables = bake_int8_weights(
+            model, variables, next(iter(_calib_images(1)))
+        )
 
     score = make_score_fn(model, transform, variables, output=output)
     scores = np.zeros(len(frames), np.float32)

@@ -412,6 +412,13 @@ def service_from_snapshot(
         model, _ = quantize_model(
             model, variables, _calib_images(), include=include
         )
+        # bake int8 kernels + scales into the variables: the service's
+        # jitted scorer then reads int8 weights, not the fp masters
+        from ..ops.quantize import bake_int8_weights
+
+        variables = bake_int8_weights(
+            model, variables, next(iter(_calib_images(1)))
+        )
     return ScoringService(
         model,
         transform,

@@ -459,7 +459,16 @@ class Trainer:
 
     def _run_multi_steps(self, host_batches, pending, timer, epoch) -> None:
         """Consume an epoch in superbatches of ``steps_per_call`` (scan);
-        the tail that doesn't fill a group runs through the single step."""
+        the tail that doesn't fill a group runs through the single step.
+
+        Double-buffered H2D (round-4 verdict next #8): superbatch G's
+        dispatch is deferred until G+1's ``device_put`` has been ISSUED, so
+        the ~11 MB/superbatch host->device leg streams under dispatch G's
+        execution instead of serializing in front of dispatch G+1 — the
+        grouped-path analogue of ``device_prefetch`` (the reference gets
+        this from pinned-memory DataLoader workers,
+        train_classifier.py:910).  Same dispatch order, same numerics.
+        """
         import jax as _jax
 
         from ..parallel.mesh import shard_batch as _shard
@@ -467,11 +476,9 @@ class Trainer:
 
         spc = self.steps_per_call
         buf: List[dict] = []
+        queued = None  # device group whose (async) H2D is in flight
 
-        def flush():
-            group = stack_batches(buf)
-            buf.clear()
-            device_group = _shard(self.mesh, group, batch_axis=1)
+        def dispatch(device_group):
             self.state, stats = self.multi_train_step(self.state, device_group)
             for g in range(spc):
                 self.step_total += 1
@@ -486,7 +493,14 @@ class Trainer:
         for batch in host_batches:
             buf.append(batch)
             if len(buf) == spc:
-                flush()
+                group = stack_batches(buf)
+                buf.clear()
+                nxt = _shard(self.mesh, group, batch_axis=1)  # async H2D
+                if queued is not None:
+                    dispatch(queued)
+                queued = nxt
+        if queued is not None:
+            dispatch(queued)
         for batch in buf:  # remainder: single steps
             device_batch = _shard(self.mesh, batch)
             self.state, stats = self.train_step(self.state, device_batch)

@@ -343,3 +343,40 @@ class TestResidentTrainer:
         sh.steps_per_call = 1
         with pytest.raises(ValueError, match="device_data"):
             VectorizedSeedSweep([sh], [object()])
+
+
+class TestStreamedChainedDispatch:
+    def test_double_buffered_groups_equal_single_steps(
+        self, corpus, tmp_path_factory
+    ):
+        """The streamed (non-resident) chained path — now double-buffered:
+        superbatch G+1's device_put is issued before dispatch G (round-4
+        verdict next #8) — must land on exactly the same weights as the
+        plain single-step driver over the same loader order, including the
+        remainder batch that doesn't fill a group."""
+        import jax
+
+        from audiodeepfake_detection_tpu.train.experiment import run_experiment
+
+        a1 = _args(corpus, tmp_path_factory, "sbuf1")
+        a1.batch_size = 4  # 22 frames -> 5 full batches: 2 groups + 1 tail
+        a1.epochs = 1
+        t_single = run_experiment(a1)
+
+        a2 = _args(corpus, tmp_path_factory, "sbuf2")
+        a2.batch_size = 4
+        a2.epochs = 1
+        a2.steps_per_call = 2
+        t_multi = run_experiment(a2)
+
+        assert t_multi.multi_train_step is not None
+        assert int(np.asarray(t_multi.state.step)) == int(
+            np.asarray(t_single.state.step)
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            t_single.state.params,
+            t_multi.state.params,
+        )

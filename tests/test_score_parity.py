@@ -294,3 +294,95 @@ class TestNormStatsArtifact:
         real = margins[owners == 0].mean()
         fakes = [margins[owners == fi].mean() for fi in np.unique(owners)[1:]]
         assert not all(real < f for f in fakes)
+
+
+class TestCoif4Falsification:
+    """Round-4 verdict next #6: two corpus-free experiments that pin down
+    whether the coif4 anomaly is OUR chain or the checkpoint itself."""
+
+    def test_coif4_full_chain_transform_parity(self):
+        """(a) The coif4 TRANSFORM path bit-for-bit against the torch
+        conv1d composite on real clips, exactly as sym5 is locked — a
+        transform-composition bug would masquerade as a stats problem.
+        Locked margins agree at fp32, so the saturation is faithfully
+        reproduced from the checkpoint weights, not introduced by us."""
+        paths = glob.glob("/root/reference/models/model_packetscoif4_*.pt")
+        if not paths:
+            pytest.skip("bundled checkpoints unavailable")
+        snapshot = paths[0]
+        frames, owners = _frames()
+        mean, std, cfg = _shared_stats(snapshot, frames)
+        assert cfg.wavelet == "coif4"
+        level = int(np.log2(int(cfg.num_of_scales)))
+        image = _torch_packet_image(frames, "coif4", level)
+        want = _oracle_margins(snapshot, image, mean, std)
+        got = _ours_margins(snapshot, frames, mean, std)
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+        # and the parity-locked margins ARE the documented saturation
+        assert want.max() < -30
+
+    def test_coif4_no_affine_stats_separate(self):
+        """(b) Sweep the whole plausible normalization plane: packets
+        normalization is per-channel with C == 1, i.e. a scalar affine
+        (mean, std).  Scored over mean = m0 + beta*s0, std = s0*alpha for
+        alpha in 2**[-4..3], beta in [-4..4].  Measured (full table in
+        docs/parity.md): NO point yields decision-level separation
+        (real margin < 0 < every fake margin) — decisions saturate to
+        all-"real" for alpha <= 2 and flip to all-"fake" for alpha >= 4;
+        rank order (real below every fake) appears ONLY deep in
+        saturation, with gaps < 0.2% of the margin magnitude, and in the
+        near-unsaturated band (alpha = 2, |margins| < 10) the ordering is
+        WRONG (real sits above the lowest fake).  The checkpoint itself
+        is the anomaly: its decision boundary is not reachable by any
+        affine renormalization of the in-image clips."""
+        import jax
+        import jax.numpy as jnp
+
+        from audiodeepfake_detection_tpu.train.predict import (
+            build_scorer_from_snapshot,
+        )
+
+        paths = glob.glob("/root/reference/models/model_packetscoif4_*.pt")
+        if not paths:
+            pytest.skip("bundled checkpoints unavailable")
+        frames, owners = _frames()
+        model, base, variables, cfg = build_scorer_from_snapshot(
+            paths[0], expect_self_norm=True, use_pallas=False
+        )
+        imgs = base(jnp.asarray(frames[:, None, :]))  # un-normalized [N,C,F,T]
+        assert imgs.shape[1] == 1  # scalar-affine normalization plane
+        m0, s0, _ = _shared_stats(paths[0], frames)
+        m0, s0 = float(np.asarray(m0).ravel()[0]), float(np.asarray(s0).ravel()[0])
+
+        @jax.jit
+        def margins(imgs, m, s):
+            logits = model.apply(variables, (imgs - m) / s, train=False)
+            return logits[:, 1] - logits[:, 0]
+
+        decision_sep, unsaturated_rank_sep = [], []
+        for alpha in [0.0625, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0]:
+            for beta in [-4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0]:
+                mg = np.asarray(
+                    margins(imgs, m0 + beta * s0, s0 * alpha)
+                )
+                clip = {
+                    fi: float(mg[owners == fi].mean())
+                    for fi in np.unique(owners)
+                }
+                fakes = [clip[fi] for fi in clip if fi]
+                decision_sep.append(
+                    (alpha, beta, clip[0] < 0 and all(f > 0 for f in fakes))
+                )
+                if abs(clip[0]) < 20:  # near-unsaturated regime
+                    unsaturated_rank_sep.append(
+                        (alpha, beta, all(clip[0] < f for f in fakes))
+                    )
+        # the measurement: no affine-reachable stats produce correct
+        # DECISIONS anywhere in the plane...
+        assert not any(s for _, _, s in decision_sep), decision_sep
+        # ...and where margins are meaningful (unsaturated), the rank
+        # order is wrong too
+        assert unsaturated_rank_sep, "sweep never left saturation"
+        assert not any(s for _, _, s in unsaturated_rank_sep), (
+            unsaturated_rank_sep
+        )
