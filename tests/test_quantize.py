@@ -304,6 +304,45 @@ class TestInt8Export:
         got = np.asarray(reloaded.call(audio))
         np.testing.assert_array_equal(got, want)
 
+    def test_baked_scorer_exports_and_roundtrips(self, small_dcnn, tmp_path):
+        """Baked int8 variables (the 'int8' collection) serialize through
+        the StableHLO export like any other collection: the reloaded
+        artifact equals the in-process baked scorer bit-exactly."""
+        import os
+
+        from audiodeepfake_detection_tpu.ops.quantize import (
+            bake_int8_weights,
+            quantize_model,
+        )
+        from audiodeepfake_detection_tpu.train.export import (
+            export_scorer,
+            load_artifact,
+            save_artifact,
+        )
+        from audiodeepfake_detection_tpu.train.predict import make_score_fn
+
+        model, variables, img = small_dcnn
+        qmodel, _ = quantize_model(
+            model, variables, [img], include=DEFAULT_INT8_SITES
+        )
+        baked = bake_int8_weights(qmodel, variables, img)
+        f, t = img.shape[2], img.shape[3]
+        win = f * t
+
+        def transform(audio):
+            return audio.reshape(audio.shape[0], 1, f, t)
+
+        exported = export_scorer(qmodel, transform, baked, win, batch_size=2)
+        path = os.path.join(tmp_path, "int8_baked.adfx")
+        save_artifact(exported, path, {"win": win})
+        reloaded, _ = load_artifact(path)
+
+        rng = np.random.RandomState(4)
+        audio = jnp.asarray(rng.randn(2, 1, win).astype(np.float32))
+        want = np.asarray(make_score_fn(qmodel, transform, baked)(audio))
+        got = np.asarray(reloaded.call(audio))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestBundledCheckpointInt8:
     def test_int8_sym5_checkpoint_discriminates(self):

@@ -27,33 +27,36 @@ def timed_forward(model, variables, img, steps, windows):
     import jax
     import jax.numpy as jnp
 
-    # variables are an ARGUMENT, not a closure: closed-over trees become
-    # HLO constants, and a 346 MB weight-embedded program exceeds the
-    # relay's compile-request body limit (observed HTTP 413)
+    # SEPARATE dispatches chained by a data dependence (bench.py
+    # protocol), NOT a lax.scan: inside a scan XLA hoists the
+    # loop-invariant weight-requantization out of the loop, which would
+    # amortize exactly the per-dispatch cost this A/B exists to measure
+    # (serving issues one dispatch per request batch).  Variables are an
+    # ARGUMENT, not a closure: closed-over trees become HLO constants and
+    # a 346 MB weight-embedded program exceeds the relay's
+    # compile-request body limit (observed HTTP 413).
     @jax.jit
-    def chain(v, x):
-        def body(carry, _):
-            out = model.apply(v, carry, train=False)
-            # tiny but real dependence: the next forward waits on this one
-            dep = (1e-30 * jnp.mean(out)).astype(carry.dtype)
-            return carry + dep, None
-
-        y, _ = jax.lax.scan(body, x, None, length=steps)
-        return jnp.mean(y)
+    def one(v, x):
+        out = model.apply(v, x, train=False)
+        dep = (1e-30 * jnp.mean(out)).astype(x.dtype)
+        return x + dep, jnp.mean(out)
 
     dvars = jax.device_put(variables)
-    float(chain(dvars, img))  # compile + warm
+    x, m = one(dvars, img)
+    float(m)  # compile + warm
     times = []
     for _ in range(windows):
         t0 = time.time()
-        float(chain(dvars, img))  # fetch-at-end timing barrier
+        for _ in range(steps):
+            x, m = one(dvars, x)
+        float(m)  # fetch-at-end timing barrier
         times.append((time.time() - t0) / steps)
     cost = {}
     try:
-        ca = chain.lower(dvars, img).compile().cost_analysis()
+        ca = one.lower(dvars, img).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] or {}
-        cost["bytes"] = float(ca.get("bytes accessed", 0.0)) / steps
+        cost["bytes"] = float(ca.get("bytes accessed", 0.0))
     except Exception:
         pass
     return float(np.median(times)), times, cost
