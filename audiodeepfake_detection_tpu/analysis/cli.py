@@ -43,6 +43,13 @@ def _cmd_attribution(args) -> None:
 def _cmd_fingerprints(args) -> None:
     from .fingerprints import fingerprint_audio, generator_fingerprints
 
+    mesh = None
+    if getattr(args, "sp", False):
+        # shard each clip's time axis over all local devices for the deep
+        # (level-14) transform — parallel/sequence.py
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
     out = generator_fingerprints(
         args.data_path,
         args.generators,
@@ -50,6 +57,7 @@ def _cmd_fingerprints(args) -> None:
         wavelet=args.wavelet,
         level=args.level,
         max_files=args.max_files,
+        mesh=mesh,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     for gen, spectra in out.items():
@@ -155,6 +163,11 @@ def main(argv=None) -> None:
     p.add_argument("--max-files", type=int, default=128)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--out-dir", default="./plots/fingerprints")
+    p.add_argument(
+        "--sp", action="store_true",
+        help="sequence-parallel WPT: shard each clip's time axis over "
+        "all local devices (parallel/sequence.py)",
+    )
     p.set_defaults(fn=_cmd_fingerprints)
 
     p = sub.add_parser("spectrogram")
