@@ -26,9 +26,13 @@ def make_score_fn(
     pushes the softmax to 0/1.
     """
 
+    from .steps import audio_to_float
+
     @jax.jit
     def score(audio: jnp.ndarray) -> jnp.ndarray:
-        image = transform(audio)
+        # int16 PCM batches convert in-graph (halved H2D bytes; XLA fuses
+        # the scale into the transform's first op) — see serve.py pcm16
+        image = transform(audio_to_float(audio))
         logits = model.apply(variables, image, train=False)
         if output == "margin":
             return logits[:, 1] - logits[:, 0]
@@ -134,6 +138,10 @@ def score_files(
 
     score = make_score_fn(model, transform, variables, output=output)
     scores = np.zeros(len(frames), np.float32)
+    # enqueue every batch dispatch before fetching any result: jax
+    # dispatch is async, and a blocking fetch per batch pays one full
+    # host<->device round trip (~85 ms through the TPU relay) per batch
+    outs = []
     for start in range(0, len(frames), batch_size):
         chunk = frames[start : start + batch_size]
         batch = np.stack(chunk)[:, None, :]
@@ -142,8 +150,9 @@ def score_files(
             batch = np.concatenate(
                 [batch, np.zeros((pad, 1, win), np.float32)]
             )
-        out = np.asarray(score(jnp.asarray(batch)))[: len(chunk)]
-        scores[start : start + len(chunk)] = out
+        outs.append((start, len(chunk), score(jnp.asarray(batch))))
+    for start, n, out in outs:
+        scores[start : start + n] = np.asarray(out)[:n]
 
     owners_arr = np.asarray(owners)
     agg = np.mean if aggregate == "mean" else np.max

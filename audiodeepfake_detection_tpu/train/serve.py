@@ -74,6 +74,7 @@ class ScoringService:
         warmup: bool = True,
         max_body_bytes: int = 64 << 20,
         request_timeout_s: float = 120.0,
+        pcm16: bool = False,
     ) -> None:
         import jax.numpy as jnp
 
@@ -85,6 +86,14 @@ class ScoringService:
         self.max_wait_ms = float(max_wait_ms)
         self.max_body_bytes = int(max_body_bytes)
         self.request_timeout_s = float(request_timeout_s)
+        # ship frames to the device as int16 PCM, converting in-graph:
+        # halves H2D bytes per dispatch — decisive when the device link is
+        # the bottleneck (the training loader's emit="int16" trick applied
+        # to serving).  Bit-exact for 16-bit wav uploads (decode is
+        # pcm/32768, re-round is exact); float submissions quantize to 16
+        # bits (~96 dB SNR, far below the model's sensitivity).
+        self.pcm16 = bool(pcm16)
+        self._frame_dtype = np.int16 if pcm16 else np.float32
         self._score = make_score_fn(model, transform, variables, output=output)
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -94,7 +103,10 @@ class ScoringService:
         self.n_dispatches = 0
         if warmup:  # compile the one static shape before serving traffic
             self._score(
-                jnp.zeros((self.batch_size, 1, self.win), jnp.float32)
+                jnp.zeros(
+                    (self.batch_size, 1, self.win),
+                    jnp.int16 if self.pcm16 else jnp.float32,
+                )
             ).block_until_ready()
 
     # ------------------------------------------------------------ lifecycle
@@ -137,16 +149,28 @@ class ScoringService:
             raise ValueError(
                 f"clip shorter than one {self.win}-sample frame"
             )
-        return np.asarray(
-            audio[: n * self.win], np.float32
-        ).reshape(n, self.win)
+        frames = np.asarray(audio[: n * self.win], np.float32).reshape(
+            n, self.win
+        )
+        return self._to_wire(frames)
+
+    def _to_wire(self, frames: np.ndarray) -> np.ndarray:
+        """Convert float frames to the wire dtype (int16 when pcm16)."""
+        if not self.pcm16 or frames.dtype == np.int16:
+            return frames
+        return np.clip(
+            np.round(frames.astype(np.float32) * 32768.0), -32768, 32767
+        ).astype(np.int16)
 
     def submit(self, frames: np.ndarray, aggregate: str = "mean") -> Future:
         """Queue pre-framed audio ``[n, win]``; resolves to the clip score.
 
         The future's result is ``(clip_score, frame_scores)``.
         """
-        frames = np.ascontiguousarray(frames, np.float32)
+        if self.pcm16:
+            frames = self._to_wire(np.ascontiguousarray(frames))
+        else:
+            frames = np.ascontiguousarray(frames, np.float32)
         if frames.ndim != 2 or frames.shape[1] != self.win:
             raise ValueError(
                 f"expected [n, {self.win}] frames, got {frames.shape}"
@@ -213,15 +237,22 @@ class ScoringService:
             try:
                 frames = np.concatenate([r.frames for r in pending])
                 scores = np.empty(len(frames), np.float32)
+                # enqueue ALL chunk dispatches first (jax dispatch is
+                # async), then fetch: a blocking fetch per chunk would pay
+                # one full host<->device round trip per batch_size frames
+                # (~85 ms each through the TPU relay) with the device idle
+                # in between
+                outs = []
                 for s in range(0, len(frames), self.batch_size):
                     chunk = frames[s : s + self.batch_size]
                     batch = np.zeros(
-                        (self.batch_size, 1, self.win), np.float32
+                        (self.batch_size, 1, self.win), self._frame_dtype
                     )  # pad to THE static shape: zero recompiles by construction
                     batch[: len(chunk), 0] = chunk
-                    out = np.asarray(self._score(jnp.asarray(batch)))
-                    scores[s : s + len(chunk)] = out[: len(chunk)]
+                    outs.append((s, len(chunk), self._score(jnp.asarray(batch))))
                     self.n_dispatches += 1
+                for s, n, out in outs:
+                    scores[s : s + n] = np.asarray(out)[:n]
             except Exception as exc:
                 for req in pending:
                     if not req.future.done():
@@ -279,6 +310,7 @@ class ScoringService:
                         "batch_size": service.batch_size,
                         "sample_rate": service.sample_rate,
                         "frame_samples": service.win,
+                        "pcm16": service.pcm16,
                         "frames_scored": service.n_scored,
                         "dispatches": service.n_dispatches,
                     },
@@ -366,12 +398,15 @@ def service_from_snapshot(
     calibrate: Sequence[str] = (),
     use_pallas: Optional[bool] = None,
     output: str = "prob",
+    pcm16: bool = False,
 ) -> ScoringService:
     """Build a ready-to-start service from a config-encoded ``.pt``.
 
     ``int8`` quantizes post-training (ops/quantize.py) with activation
     scales calibrated on ``calibrate`` (files/dirs) through the SAME
-    normalized transform the service scores with.
+    normalized transform the service scores with.  ``pcm16`` ships
+    frames to the device as int16 PCM (halved H2D bytes, in-graph
+    conversion; bit-exact for 16-bit wav uploads).
     """
     import jax.numpy as jnp
 
@@ -428,6 +463,7 @@ def service_from_snapshot(
         batch_size=batch_size,
         max_wait_ms=max_wait_ms,
         output=output,
+        pcm16=pcm16,
     )
 
 
@@ -468,6 +504,11 @@ def main(argv=None) -> None:
         "--no-pallas", dest="use_pallas", action="store_false",
         help="force the XLA transform path",
     )
+    parser.add_argument(
+        "--pcm16", action="store_true",
+        help="ship frames to the device as int16 PCM (halved H2D bytes; "
+        "bit-exact for 16-bit wav uploads)",
+    )
     args = parser.parse_args(argv)
     service = service_from_snapshot(
         args.snapshot,
@@ -480,6 +521,7 @@ def main(argv=None) -> None:
         calibrate=args.calibrate,
         use_pallas=args.use_pallas,
         output=args.output,
+        pcm16=args.pcm16,
     )
     with service:
         service.serve(args.host, args.port)

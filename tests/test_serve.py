@@ -349,6 +349,68 @@ class TestHTTP:
         assert "too large" in payload["error"]
 
 
+class TestPcm16Wire:
+    """pcm16 mode ships int16 frames and converts in-graph: bit-exact for
+    16-bit wav sources, halved wire bytes."""
+
+    @pytest.fixture(scope="class")
+    def pcm_service(self):
+        model = TinyNet()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, WIN)), train=False
+        )
+        svc = ScoringService(
+            model, _identity_transform, variables,
+            sample_rate=SR, seconds=SEC, batch_size=8,
+            max_wait_ms=5.0, warmup=True, pcm16=True,
+        )
+        svc.start()
+        yield svc
+        svc.stop()
+
+    def test_wav_scores_bit_exact_vs_float_service(self, service, pcm_service):
+        """A 16-bit wav decodes to pcm/32768; the pcm16 wire re-rounds to
+        the SAME ints, so scores equal the float32 service exactly."""
+        rng = np.random.RandomState(21)
+        pcm = rng.randint(-32768, 32768, size=3 * WIN).astype(np.int16)
+        audio = pcm.astype(np.float32) / 32768.0  # what wav decode yields
+        s_f, fs_f = service.score_clip(audio, SR)
+        s_p, fs_p = pcm_service.score_clip(audio, SR)
+        assert s_p == s_f
+        np.testing.assert_array_equal(fs_p, fs_f)
+
+    def test_submit_accepts_int16_directly(self, pcm_service):
+        rng = np.random.RandomState(22)
+        pcm = rng.randint(-2000, 2000, size=(2, WIN)).astype(np.int16)
+        score, fs = pcm_service.submit(pcm).result(timeout=30)
+        want, want_fs = pcm_service.submit(
+            pcm.astype(np.float32) / 32768.0
+        ).result(timeout=30)
+        assert score == want
+        np.testing.assert_array_equal(fs, want_fs)
+
+    def test_frame_clip_emits_int16(self, pcm_service):
+        frames = pcm_service.frame_clip(
+            np.zeros(2 * WIN, np.float32), SR
+        )
+        assert frames.dtype == np.int16
+        assert frames.nbytes * 2 == 2 * WIN * 4  # half the float32 bytes
+
+    def test_healthz_reports_pcm16(self, pcm_service):
+        server = pcm_service.make_server("127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_port}/healthz"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                payload = json.loads(resp.read())
+            assert payload["pcm16"] is True
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join()
+
+
 SNAP = "/root/reference/models"
 SAMPLES = "/root/reference/audio-samples/classification_examples"
 
