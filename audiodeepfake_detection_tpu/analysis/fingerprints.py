@@ -47,21 +47,21 @@ def mean_wpt_spectrum(
     """
     import jax.numpy as jnp
 
-    from ..ops.wavelets import get_wavelet
-
     shards = int(mesh.shape[axis]) if mesh is not None else 1
-    filt_len = len(get_wavelet(wavelet).dec_lo)
-    padl = (2 * filt_len - 3) // 2
+    min_sp_len = 0
     if mesh is not None:
-        from ..parallel.sequence import sp_wpt_analysis
+        from ..parallel.sequence import sp_wpt_analysis, sp_wpt_min_len
+
+        min_sp_len = sp_wpt_min_len(wavelet, level, shards)
 
     acc: Optional[np.ndarray] = None
     count = 0
     for clip in clips:
         block = shards << level
         t_sp = (len(clip) // block) * block
-        # SP needs per-shard interiors longer than the filter overhang
-        if mesh is not None and t_sp and 2 * (t_sp // block) >= padl + 1:
+        # eligibility rule lives in parallel/sequence.py (alignment +
+        # per-shard interiors longer than the filter overhang)
+        if mesh is not None and t_sp >= min_sp_len:
             wp = sp_wpt_analysis(
                 jnp.asarray(clip[None, :t_sp], jnp.float32),
                 wavelet, level, mesh, axis,

@@ -201,10 +201,15 @@ def bake_int8_weights(model, variables, image):
     folded-conv records freeze the current ``batch_stats``; re-bake after
     any BN update (serving snapshots never update them).
     """
+    # drop any existing baked records first: flax's Module.variable only
+    # runs the init_fn for MISSING variables, so baking an already-baked
+    # tree would silently return the stale records (e.g. folded kernels
+    # frozen with outdated batch_stats) instead of re-quantizing
+    src = {k: v for k, v in variables.items() if k != INT8_COLLECTION}
     _, mut = model.apply(
-        variables, image, train=False, mutable=[INT8_COLLECTION]
+        src, image, train=False, mutable=[INT8_COLLECTION]
     )
-    out = dict(variables)
+    out = dict(src)
     out[INT8_COLLECTION] = mut[INT8_COLLECTION]
     return out
 

@@ -48,6 +48,24 @@ from ..ops.wavelets import get_wavelet
 from ..ops.wpt import _dec_kernel, graycode_permutation
 
 
+def sp_wpt_min_len(wavelet_name: str, level: int, shards: int) -> int:
+    """Smallest aligned clip length ``sp_wpt_analysis`` accepts.
+
+    Combines BOTH of its preconditions (divisibility by
+    ``shards * 2**level`` and per-shard interiors longer than the filter
+    overhang at the deepest level) — callers choosing between the
+    sharded and dense cascades (analysis/fingerprints.py) should crop to
+    a multiple of ``shards * 2**level`` and compare against this, so the
+    eligibility rule lives in one place.
+    """
+    filt_len = len(get_wavelet(wavelet_name).dec_lo)
+    padl = (2 * filt_len - 3) // 2
+    block = shards * 2**level
+    # need 2 * (t // block) >= padl + 1 with t a multiple of block
+    blocks = max(1, -(-(padl + 1) // 2))
+    return blocks * block
+
+
 def _sp_dwt_level(
     x: jnp.ndarray, kernel: jnp.ndarray, axis: str, m: int, g: int, shards: int
 ) -> jnp.ndarray:

@@ -58,7 +58,7 @@ def export_scorer(
     avoid Mosaic kernels, whose grids need concrete shapes — build it
     with ``use_pallas=False``.
     """
-    score = make_score_fn(model, transform, variables)
+    score = make_score_fn(model, transform, variables, closed=True)
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
         arg = jax.ShapeDtypeStruct((b, 1, win), jnp.float32)
@@ -200,7 +200,9 @@ def main(argv=None) -> None:
         rng = np.random.RandomState(0)
         audio = jnp.asarray(rng.randn(b, 1, win).astype(np.float32))
         got = np.asarray(reloaded.call(audio))
-        want = np.asarray(make_score_fn(model, transform, variables)(audio))
+        want = np.asarray(
+            make_score_fn(model, transform, variables, closed=True)(audio)
+        )
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
         print(f"check ok: artifact matches in-process scorer "
               f"(max |d| = {np.abs(got - want).max():.2e})")

@@ -16,7 +16,8 @@ import numpy as np
 
 
 def make_score_fn(
-    model, transform: Callable, variables, output: str = "prob"
+    model, transform: Callable, variables, output: str = "prob",
+    closed: bool = False,
 ) -> Callable:
     """Jitted ``[B, 1, T] audio -> [B]`` scorer.
 
@@ -24,19 +25,34 @@ def make_score_fn(
     fake-real logit margin — monotone in ``P(fake)`` but unsaturated, so
     rank comparisons stay meaningful when approximate normalization
     pushes the softmax to 0/1.
+
+    ``closed=False`` (default, the serving path): variables are
+    device_put once and passed as a jit ARGUMENT — a closed-over weight
+    tree becomes HLO constants, and an 86M-param model makes a ~346 MB
+    program that exceeds the TPU relay's compile-request limit (observed
+    HTTP 413).  ``closed=True`` embeds the weights as constants — what
+    the StableHLO export (train/export.py) needs, since the artifact
+    must carry them.
     """
 
     from .steps import audio_to_float
 
-    @jax.jit
-    def score(audio: jnp.ndarray) -> jnp.ndarray:
+    def compute(v, audio: jnp.ndarray) -> jnp.ndarray:
         # int16 PCM batches convert in-graph (halved H2D bytes; XLA fuses
         # the scale into the transform's first op) — see serve.py pcm16
         image = transform(audio_to_float(audio))
-        logits = model.apply(variables, image, train=False)
+        logits = model.apply(v, image, train=False)
         if output == "margin":
             return logits[:, 1] - logits[:, 0]
         return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    if closed:
+        return jax.jit(lambda audio: compute(variables, audio))
+    scorer = jax.jit(compute)
+    dvars = jax.device_put(variables)
+
+    def score(audio: jnp.ndarray) -> jnp.ndarray:
+        return scorer(dvars, audio)
 
     return score
 
@@ -138,10 +154,18 @@ def score_files(
 
     score = make_score_fn(model, transform, variables, output=output)
     scores = np.zeros(len(frames), np.float32)
-    # enqueue every batch dispatch before fetching any result: jax
-    # dispatch is async, and a blocking fetch per batch pays one full
-    # host<->device round trip (~85 ms through the TPU relay) per batch
-    outs = []
+    # pipeline dispatches with a BOUNDED in-flight window: enqueueing a
+    # batch before fetching the previous hides the ~85 ms relay round
+    # trip, but enqueueing the whole corpus would hold every 11 MB input
+    # buffer live in HBM at once (device OOM on large directories)
+    max_inflight = 8
+    outs: list = []
+
+    def drain(until: int) -> None:
+        while len(outs) > until:
+            start, n, out = outs.pop(0)
+            scores[start : start + n] = np.asarray(out)[:n]
+
     for start in range(0, len(frames), batch_size):
         chunk = frames[start : start + batch_size]
         batch = np.stack(chunk)[:, None, :]
@@ -151,8 +175,8 @@ def score_files(
                 [batch, np.zeros((pad, 1, win), np.float32)]
             )
         outs.append((start, len(chunk), score(jnp.asarray(batch))))
-    for start, n, out in outs:
-        scores[start : start + n] = np.asarray(out)[:n]
+        drain(max_inflight)
+    drain(0)
 
     owners_arr = np.asarray(owners)
     agg = np.mean if aggregate == "mean" else np.max

@@ -237,12 +237,20 @@ class ScoringService:
             try:
                 frames = np.concatenate([r.frames for r in pending])
                 scores = np.empty(len(frames), np.float32)
-                # enqueue ALL chunk dispatches first (jax dispatch is
-                # async), then fetch: a blocking fetch per chunk would pay
-                # one full host<->device round trip per batch_size frames
-                # (~85 ms each through the TPU relay) with the device idle
-                # in between
+                # pipeline chunk dispatches (jax dispatch is async) with a
+                # bounded in-flight window: a blocking fetch per chunk
+                # would pay one full host<->device round trip per
+                # batch_size frames (~85 ms each through the TPU relay)
+                # with the device idle in between, while an unbounded
+                # queue would hold every input buffer in HBM at once for
+                # giant direct submit()s
                 outs = []
+
+                def drain(until):
+                    while len(outs) > until:
+                        s, n, out = outs.pop(0)
+                        scores[s : s + n] = np.asarray(out)[:n]
+
                 for s in range(0, len(frames), self.batch_size):
                     chunk = frames[s : s + self.batch_size]
                     batch = np.zeros(
@@ -251,8 +259,8 @@ class ScoringService:
                     batch[: len(chunk), 0] = chunk
                     outs.append((s, len(chunk), self._score(jnp.asarray(batch))))
                     self.n_dispatches += 1
-                for s, n, out in outs:
-                    scores[s : s + n] = np.asarray(out)[:n]
+                    drain(8)
+                drain(0)
             except Exception as exc:
                 for req in pending:
                     if not req.future.done():
@@ -329,6 +337,16 @@ class ScoringService:
                     if length <= 0:
                         raise ValueError("empty body (expected audio bytes)")
                     if length > service.max_body_bytes:
+                        # drain (bounded) before replying: closing with
+                        # unread data in the receive buffer sends a TCP
+                        # RST and the client never sees the 413 JSON
+                        remaining = min(length, 8 << 20)
+                        while remaining > 0:
+                            got = self.rfile.read(min(remaining, 1 << 16))
+                            if not got:
+                                break
+                            remaining -= len(got)
+                        self.close_connection = True
                         return self._reply(
                             413,
                             {

@@ -300,7 +300,9 @@ class TestInt8Export:
 
         rng = np.random.RandomState(3)
         audio = jnp.asarray(rng.randn(2, 1, win).astype(np.float32))
-        want = np.asarray(make_score_fn(qmodel, transform, variables)(audio))
+        want = np.asarray(
+            make_score_fn(qmodel, transform, variables, closed=True)(audio)
+        )
         got = np.asarray(reloaded.call(audio))
         np.testing.assert_array_equal(got, want)
 
@@ -339,7 +341,9 @@ class TestInt8Export:
 
         rng = np.random.RandomState(4)
         audio = jnp.asarray(rng.randn(2, 1, win).astype(np.float32))
-        want = np.asarray(make_score_fn(qmodel, transform, baked)(audio))
+        want = np.asarray(
+            make_score_fn(qmodel, transform, baked, closed=True)(audio)
+        )
         got = np.asarray(reloaded.call(audio))
         np.testing.assert_array_equal(got, want)
 
@@ -508,3 +512,32 @@ class TestBakedInt8Weights:
         ref = qmodel.apply(variables, img, train=False)
         out = qmodel.apply(baked_vars, img, train=False)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_rebake_refreshes_stale_records(self, small_dcnn):
+        """Baking an ALREADY-baked tree must re-quantize from the current
+        masters — flax's Module.variable only inits missing variables, so
+        bake_int8_weights has to drop the old collection first (else a
+        BN/params update would silently serve stale folded kernels)."""
+        from audiodeepfake_detection_tpu.ops.quantize import (
+            INT8_COLLECTION,
+            bake_int8_weights,
+            quantize_dcnn,
+        )
+
+        model, variables, img = small_dcnn
+        qmodel, _ = quantize_dcnn(model, variables, [img])
+        baked1 = bake_int8_weights(qmodel, variables, img)
+        # perturb the masters, then re-bake the baked tree
+        params = jax.tree.map(lambda x: x, baked1["params"])
+        params["cnn_0"]["Conv_0"]["kernel"] = (
+            2.0 * params["cnn_0"]["Conv_0"]["kernel"]
+        )
+        stale = dict(baked1)
+        stale["params"] = params
+        baked2 = bake_int8_weights(qmodel, stale, img)
+        r1 = baked1[INT8_COLLECTION]["cnn_0_q8"]
+        r2 = baked2[INT8_COLLECTION]["cnn_0_q8"]
+        assert not np.allclose(np.asarray(r1["s_w"]), np.asarray(r2["s_w"]))
+        np.testing.assert_allclose(
+            np.asarray(r2["s_w"]), 2.0 * np.asarray(r1["s_w"]), rtol=1e-6
+        )
