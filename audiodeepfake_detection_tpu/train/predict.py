@@ -17,7 +17,7 @@ import numpy as np
 
 def make_score_fn(
     model, transform: Callable, variables, output: str = "prob",
-    closed: bool = False,
+    closed: bool = False, chunk: int = 0,
 ) -> Callable:
     """Jitted ``[B, 1, T] audio -> [B]`` scorer.
 
@@ -33,15 +33,32 @@ def make_score_fn(
     HTTP 413).  ``closed=True`` embeds the weights as constants — what
     the StableHLO export (train/export.py) needs, since the artifact
     must carry them.
+
+    ``chunk``: scan the forward over microbatches of that size inside
+    the single dispatch (applies when it divides the batch).  Large AST
+    batches lose VMEM residency — the serving analogue of the train-side
+    grad-accum fix: measured on v5e, base384 int8-baked b512 runs at
+    2,214 frames/s whole-batch vs 2,338 with ``chunk=128``
+    (docs/benchmarks.md "AST serving batch knee").  DCNN/LCNN stay
+    whole-batch (no knee); 0 disables.
     """
 
     from .steps import audio_to_float
+
+    def fwd(v, image: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(v, image, train=False)
 
     def compute(v, audio: jnp.ndarray) -> jnp.ndarray:
         # int16 PCM batches convert in-graph (halved H2D bytes; XLA fuses
         # the scale into the transform's first op) — see serve.py pcm16
         image = transform(audio_to_float(audio))
-        logits = model.apply(v, image, train=False)
+        b = image.shape[0]
+        if chunk and chunk < b and b % chunk == 0:
+            groups = image.reshape((b // chunk, chunk) + image.shape[1:])
+            logits = jax.lax.map(lambda g: fwd(v, g), groups)
+            logits = logits.reshape((b,) + logits.shape[2:])
+        else:
+            logits = fwd(v, image)
         if output == "margin":
             return logits[:, 1] - logits[:, 0]
         return jax.nn.softmax(logits, axis=-1)[:, 1]
@@ -69,6 +86,7 @@ def score_files(
     self_norm: bool = False,
     output: str = "prob",
     int8: bool = False,
+    chunk: int = 0,
 ) -> Dict[str, float]:
     """Per-file fake probability (or logit margin), aggregated over frames.
 
@@ -152,7 +170,9 @@ def score_files(
             model, variables, next(iter(_calib_images(1)))
         )
 
-    score = make_score_fn(model, transform, variables, output=output)
+    score = make_score_fn(
+        model, transform, variables, output=output, chunk=chunk
+    )
     scores = np.zeros(len(frames), np.float32)
     # pipeline dispatches with a BOUNDED in-flight window: enqueueing a
     # batch before fetching the previous hides the ~85 ms relay round
@@ -393,6 +413,12 @@ def main(argv=None) -> None:
         help="post-training int8 quantization (DCNN convs / AST block "
         "matmuls; calibrated on the first scored batches)",
     )
+    parser.add_argument(
+        "--chunk", type=int, default=0,
+        help="scan the model forward over microbatches of this size "
+        "inside each dispatch (AST + large batches lose VMEM residency; "
+        "0 = whole batch)",
+    )
     parser.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
 
@@ -423,6 +449,7 @@ def main(argv=None) -> None:
         aggregate=args.aggregate,
         self_norm=args.self_norm,
         int8=args.int8,
+        chunk=args.chunk,
     )
     if args.as_json:
         print(json.dumps(scores, indent=2, sort_keys=True))

@@ -75,6 +75,7 @@ class ScoringService:
         max_body_bytes: int = 64 << 20,
         request_timeout_s: float = 120.0,
         pcm16: bool = False,
+        chunk: int = 0,
     ) -> None:
         import jax.numpy as jnp
 
@@ -94,7 +95,12 @@ class ScoringService:
         # bits (~96 dB SNR, far below the model's sensitivity).
         self.pcm16 = bool(pcm16)
         self._frame_dtype = np.int16 if pcm16 else np.float32
-        self._score = make_score_fn(model, transform, variables, output=output)
+        # chunk: scan the model forward over microbatches inside the
+        # dispatch — large AST batches lose VMEM residency (measured knee,
+        # docs/benchmarks.md "AST serving batch knee"); DCNN/LCNN keep 0.
+        self._score = make_score_fn(
+            model, transform, variables, output=output, chunk=chunk
+        )
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stop = object()
@@ -417,6 +423,7 @@ def service_from_snapshot(
     use_pallas: Optional[bool] = None,
     output: str = "prob",
     pcm16: bool = False,
+    chunk: int = 0,
 ) -> ScoringService:
     """Build a ready-to-start service from a config-encoded ``.pt``.
 
@@ -482,6 +489,7 @@ def service_from_snapshot(
         max_wait_ms=max_wait_ms,
         output=output,
         pcm16=pcm16,
+        chunk=chunk,
     )
 
 
@@ -527,6 +535,11 @@ def main(argv=None) -> None:
         help="ship frames to the device as int16 PCM (halved H2D bytes; "
         "bit-exact for 16-bit wav uploads)",
     )
+    parser.add_argument(
+        "--chunk", type=int, default=0,
+        help="scan the model forward over microbatches of this size "
+        "inside each dispatch (AST + large batches; 0 = whole batch)",
+    )
     args = parser.parse_args(argv)
     service = service_from_snapshot(
         args.snapshot,
@@ -540,6 +553,7 @@ def main(argv=None) -> None:
         use_pallas=args.use_pallas,
         output=args.output,
         pcm16=args.pcm16,
+        chunk=args.chunk,
     )
     with service:
         service.serve(args.host, args.port)

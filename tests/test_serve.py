@@ -110,6 +110,58 @@ class TestMicroBatcher:
         np.testing.assert_allclose(fs, _direct_scores(service, frames), rtol=1e-6)
         assert service.n_dispatches - d0 == 4
 
+    def test_microbatch_chunk_scores_equal_whole_batch(self):
+        """chunk=N scans the forward inside the dispatch; scores match the
+        whole-batch path exactly (the AST b512 VMEM-knee lever,
+        docs/benchmarks.md "AST serving batch knee")."""
+        model = TinyNet()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, WIN)), train=False
+        )
+        batch = jnp.asarray(_frames(8, seed=7)[:, None, :])
+        whole = make_score_fn(model, _identity_transform, variables)
+        chunked = make_score_fn(
+            model, _identity_transform, variables, chunk=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked(batch)), np.asarray(whole(batch)), rtol=1e-6
+        )
+        # non-divisible chunk falls back to the whole batch (no padding
+        # surprises), and chunk >= batch is a no-op
+        for c in (3, 8, 16):
+            fn = make_score_fn(
+                model, _identity_transform, variables, chunk=c
+            )
+            np.testing.assert_allclose(
+                np.asarray(fn(batch)), np.asarray(whole(batch)), rtol=1e-6
+            )
+
+    def test_service_with_chunk_matches_direct(self, service):
+        model = TinyNet()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, WIN)), train=False
+        )
+        svc = ScoringService(
+            model,
+            _identity_transform,
+            variables,
+            sample_rate=SR,
+            seconds=SEC,
+            batch_size=8,
+            max_wait_ms=1.0,
+            warmup=False,
+            chunk=4,
+        )
+        svc.start()
+        try:
+            frames = _frames(11, seed=9)
+            _, fs = svc.submit(frames).result(timeout=30)
+            np.testing.assert_allclose(
+                fs, _direct_scores(service, frames), rtol=1e-6
+            )
+        finally:
+            svc.stop()
+
     def test_concurrent_requests_coalesce(self, service):
         """Many 1-frame clients land in fewer device dispatches, and every
         future resolves to ITS clip's score (order preservation across the

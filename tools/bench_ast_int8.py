@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed_forward(model, variables, img, steps, windows):
+def timed_forward(model, variables, img, steps, windows, chunk=0):
     import jax
     import jax.numpy as jnp
 
@@ -35,9 +35,24 @@ def timed_forward(model, variables, img, steps, windows):
     # ARGUMENT, not a closure: closed-over trees become HLO constants and
     # a 346 MB weight-embedded program exceeds the relay's
     # compile-request body limit (observed HTTP 413).
+    #
+    # ``chunk``: scan the forward over microbatches of that size INSIDE
+    # the dispatch (the serving analogue of grad-accum: one dispatch per
+    # request batch, but each microbatch re-enters the small-batch VMEM
+    # residency regime).  Scanning is legitimate here — a real serving
+    # dispatch would run the same scan — and the baked-int8 path has no
+    # per-dispatch requantization for the scan to hoist.
+    def fwd(v, x):
+        if chunk and chunk < x.shape[0]:
+            groups = x.reshape((x.shape[0] // chunk, chunk) + x.shape[1:])
+            return jax.lax.map(
+                lambda g: model.apply(v, g, train=False), groups
+            ).reshape((x.shape[0], -1))
+        return model.apply(v, x, train=False)
+
     @jax.jit
     def one(v, x):
-        out = model.apply(v, x, train=False)
+        out = fwd(v, x)
         dep = (1e-30 * jnp.mean(out)).astype(x.dtype)
         return x + dep, jnp.mean(out)
 
@@ -67,6 +82,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument(
+        "--chunk", type=int, default=0,
+        help="scan the forward over microbatches of this size inside "
+        "each dispatch (0 = whole batch at once)",
+    )
     ap.add_argument("--size", default="base384")
     ap.add_argument(
         "--modes", nargs="+", default=["bf16", "int8", "int8-baked"],
@@ -111,7 +131,7 @@ def main() -> None:
                 qvars = bake_int8_weights(qmodel, variables, img[:2])
             m, v = qmodel, qvars
         step_s, times, cost = timed_forward(
-            m, v, img, args.steps, args.windows
+            m, v, img, args.steps, args.windows, chunk=args.chunk
         )
         fps = args.batch / step_s
         extra = (
@@ -119,8 +139,9 @@ def main() -> None:
             if cost.get("bytes")
             else ""
         )
+        tag = f" chunk{args.chunk}" if args.chunk else ""
         print(
-            f"AST {args.size} forward b{args.batch} [{mode}]: "
+            f"AST {args.size} forward b{args.batch}{tag} [{mode}]: "
             f"{step_s * 1e3:.2f} ms median "
             f"({', '.join(f'{t * 1e3:.2f}' for t in times)}), "
             f"{fps:.0f} frames/s/chip{extra}"
