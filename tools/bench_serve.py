@@ -35,6 +35,11 @@ def main() -> None:
         "--modes", nargs="+", default=["fp32", "int8"],
         choices=["fp32", "int8", "fp32-pcm16", "int8-pcm16"],
     )
+    ap.add_argument(
+        "--chunk", type=int, default=0,
+        help="scan the model forward over microbatches of this size "
+        "inside each dispatch (the AST large-batch knee lever)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -62,6 +67,7 @@ def main() -> None:
             int8=int8,
             calibrate=CLIPS if int8 else (),
             pcm16=mode.endswith("pcm16"),
+            chunk=args.chunk,
         )
         frames = np.tanh(
             rng.randn(args.frames, svc.win).astype(np.float32)
