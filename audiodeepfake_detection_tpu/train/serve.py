@@ -75,7 +75,7 @@ class ScoringService:
         max_body_bytes: int = 64 << 20,
         request_timeout_s: float = 120.0,
         pcm16: bool = False,
-        chunk: int = 0,
+        chunk: Optional[int] = None,
     ) -> None:
         import jax.numpy as jnp
 
@@ -97,9 +97,17 @@ class ScoringService:
         self._frame_dtype = np.int16 if pcm16 else np.float32
         # chunk: scan the model forward over microbatches inside the
         # dispatch — large AST batches lose VMEM residency (measured knee,
-        # docs/benchmarks.md "AST serving batch knee"); DCNN/LCNN keep 0.
+        # docs/benchmarks.md "AST serving batch knee"); DCNN/LCNN have no
+        # knee below b1024.  None = auto: 32 for the AST (measured best
+        # general setting — int8-baked b128 +25%, bf16 b128 +19%; 16 edges
+        # it out for int8 at b512), 0 (whole batch) for everything else.
+        if chunk is None:
+            from ..models.ast import ASTModel
+
+            chunk = 32 if isinstance(model, ASTModel) else 0
+        self.chunk = int(chunk)
         self._score = make_score_fn(
-            model, transform, variables, output=output, chunk=chunk
+            model, transform, variables, output=output, chunk=self.chunk
         )
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -325,6 +333,7 @@ class ScoringService:
                         "sample_rate": service.sample_rate,
                         "frame_samples": service.win,
                         "pcm16": service.pcm16,
+                        "chunk": service.chunk,
                         "frames_scored": service.n_scored,
                         "dispatches": service.n_dispatches,
                     },
@@ -423,7 +432,7 @@ def service_from_snapshot(
     use_pallas: Optional[bool] = None,
     output: str = "prob",
     pcm16: bool = False,
-    chunk: int = 0,
+    chunk: Optional[int] = None,
 ) -> ScoringService:
     """Build a ready-to-start service from a config-encoded ``.pt``.
 
@@ -536,9 +545,10 @@ def main(argv=None) -> None:
         "bit-exact for 16-bit wav uploads)",
     )
     parser.add_argument(
-        "--chunk", type=int, default=0,
+        "--chunk", type=int, default=None,
         help="scan the model forward over microbatches of this size "
-        "inside each dispatch (AST + large batches; 0 = whole batch)",
+        "inside each dispatch (default: auto — 32 for the AST, whole "
+        "batch otherwise; 0 forces whole-batch)",
     )
     args = parser.parse_args(argv)
     service = service_from_snapshot(

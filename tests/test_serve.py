@@ -136,6 +136,42 @@ class TestMicroBatcher:
                 np.asarray(fn(batch)), np.asarray(whole(batch)), rtol=1e-6
             )
 
+    def test_auto_chunk_defaults(self):
+        """chunk=None resolves to 32 for the AST family, 0 otherwise
+        (measured knee, docs/benchmarks.md 'AST serving batch knee')."""
+        from audiodeepfake_detection_tpu.models.ast import ASTModel
+
+        model = TinyNet()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, WIN)), train=False
+        )
+        svc = ScoringService(
+            model, _identity_transform, variables,
+            sample_rate=SR, seconds=SEC, batch_size=8, warmup=False,
+        )
+        assert svc.chunk == 0
+
+        ast = ASTModel(model_size="tiny224", input_fdim=64, input_tdim=32)
+        avars = ast.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 32)), train=False
+        )
+        asvc = ScoringService(
+            ast,
+            lambda audio: jnp.zeros(
+                (audio.shape[0], 1, 64, 32), jnp.float32
+            ),
+            avars,
+            sample_rate=SR, seconds=SEC, batch_size=8, warmup=False,
+        )
+        assert asvc.chunk == 32
+        # explicit value always wins
+        asvc0 = ScoringService(
+            ast, _identity_transform, avars,
+            sample_rate=SR, seconds=SEC, batch_size=8, warmup=False,
+            chunk=0,
+        )
+        assert asvc0.chunk == 0
+
     def test_service_with_chunk_matches_direct(self, service):
         model = TinyNet()
         variables = model.init(
