@@ -86,7 +86,7 @@ def score_files(
     self_norm: bool = False,
     output: str = "prob",
     int8: bool = False,
-    chunk: int = 0,
+    chunk: int | None = None,
 ) -> Dict[str, float]:
     """Per-file fake probability (or logit margin), aggregated over frames.
 
@@ -170,6 +170,14 @@ def score_files(
             model, variables, next(iter(_calib_images(1)))
         )
 
+    if chunk is None:
+        # auto: AST forwards lose VMEM residency at large batches — scan
+        # microbatches of 32 inside the dispatch (measured +19-25% at
+        # b128, docs/benchmarks.md "AST serving batch knee"); DCNN/LCNN
+        # have no knee at these batch sizes.
+        from ..models.ast import ASTModel
+
+        chunk = 32 if isinstance(model, ASTModel) else 0
     score = make_score_fn(
         model, transform, variables, output=output, chunk=chunk
     )
@@ -414,10 +422,10 @@ def main(argv=None) -> None:
         "matmuls; calibrated on the first scored batches)",
     )
     parser.add_argument(
-        "--chunk", type=int, default=0,
+        "--chunk", type=int, default=None,
         help="scan the model forward over microbatches of this size "
-        "inside each dispatch (AST + large batches lose VMEM residency; "
-        "0 = whole batch)",
+        "inside each dispatch (default: auto — 32 for the AST, whole "
+        "batch otherwise; 0 forces whole-batch)",
     )
     parser.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
