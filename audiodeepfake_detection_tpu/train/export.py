@@ -50,6 +50,7 @@ def export_scorer(
     batch_size: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     allow_tpu_custom_calls: bool = False,
+    chunk: int = 0,
 ) -> jexport.Exported:
     """Export the jitted ``[B, 1, win] audio -> [B] P(fake)`` scorer.
 
@@ -57,8 +58,21 @@ def export_scorer(
     artifact then serves any batch size); this requires the transform to
     avoid Mosaic kernels, whose grids need concrete shapes — build it
     with ``use_pallas=False``.
+
+    ``chunk``: bake the microbatched-scan forward into the artifact
+    (the AST large-batch VMEM knee, docs/benchmarks.md "AST serving
+    batch knee").  Requires a concrete ``batch_size`` — a symbolic batch
+    dimension cannot prove the divisibility the scan needs.
     """
-    score = make_score_fn(model, transform, variables, closed=True)
+    if chunk and batch_size is None:
+        raise ValueError(
+            "chunk requires a concrete batch_size: a symbolic batch "
+            "dimension cannot prove the b % chunk == 0 the in-dispatch "
+            "scan needs"
+        )
+    score = make_score_fn(
+        model, transform, variables, closed=True, chunk=chunk
+    )
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
         arg = jax.ShapeDtypeStruct((b, 1, win), jnp.float32)
@@ -144,6 +158,11 @@ def main(argv=None) -> None:
         help="reload the artifact and score a random batch against the "
         "in-process scorer",
     )
+    parser.add_argument(
+        "--chunk", type=int, default=0,
+        help="bake a microbatched-scan forward into the artifact "
+        "(AST + large concrete batches; requires --batch-size)",
+    )
     args = parser.parse_args(argv)
 
     platforms = args.platforms.split(",") if args.platforms else None
@@ -171,6 +190,7 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         platforms=platforms,
         allow_tpu_custom_calls=not portable,
+        chunk=args.chunk,
     )
     save_artifact(
         exported,
@@ -183,6 +203,7 @@ def main(argv=None) -> None:
             "sample_rate": int(cfg.sample_rate),
             "portable": portable,
             "normalized": args.norm is not None or args.mean is not None,
+            "chunk": args.chunk,
         },
     )
     # file size, not a second serialize(): the module embeds all weights

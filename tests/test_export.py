@@ -61,6 +61,35 @@ class TestExportScorer:
         got = np.asarray(reloaded.call(audio))
         np.testing.assert_array_equal(got, want)
 
+    def test_chunked_export_matches_whole_batch(self, tmp_path):
+        """chunk=N bakes the microbatched scan into the artifact; scores
+        equal the whole-batch export (the AST serving knee lever carried
+        into deployment)."""
+        model, transform, variables = _tiny_scorer()
+        whole = export_scorer(model, transform, variables, WIN, batch_size=4)
+        chunked = export_scorer(
+            model, transform, variables, WIN, batch_size=4, chunk=2
+        )
+        path = os.path.join(tmp_path, "chunked.adfx")
+        save_artifact(chunked, path, {"win": WIN, "chunk": 2})
+        reloaded, meta = load_artifact(path)
+        assert meta["chunk"] == 2
+
+        rng = np.random.RandomState(1)
+        audio = jnp.asarray(rng.randn(4, 1, WIN).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(reloaded.call(audio)),
+            np.asarray(whole.call(audio)),
+            rtol=1e-6,
+        )
+
+    def test_chunk_requires_concrete_batch(self):
+        model, transform, variables = _tiny_scorer()
+        with pytest.raises(ValueError, match="concrete batch_size"):
+            export_scorer(
+                model, transform, variables, WIN, batch_size=None, chunk=2
+            )
+
     def test_symbolic_batch_serves_any_size(self, tmp_path):
         model, transform, variables = _tiny_scorer()
         exported = export_scorer(
